@@ -1,0 +1,186 @@
+"""BM25 scoring + top-k retrieval (exact DataFrame path).
+
+Re-implements the ranking the reference delegates to Elasticsearch 5.5
+(/root/reference/build.gradle:42): BM25 with k1=1.2, b=0.75 over the
+`standard`-analyzed token stream, disjunctive (OR) term matching by default
+(ES query-string semantics), conjunctive via a having-count filter
+(SURVEY.md §2.5 D6-D8).
+
+Formula (ES 5.5 defaults, SURVEY.md §2.5 D6):
+    score(q,d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))
+    idf(t)     = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+We use exact doc lengths (no Lucene 1-byte norm quantization) on both the
+engine and the golden oracle so results agree exactly (SURVEY.md §5.2).
+
+Plan shape / scale notes:
+- Query terms are broadcast (a query has <=dozens of terms; never shuffle
+  the corpus against them).
+- tf/df/doc_len aggregations are plain hash aggregates -> Catalyst does
+  partial (map-side) aggregation automatically.
+- Per-doc score sum + global top-k: `groupBy(doc_id).sum` then
+  TakeOrderedAndProject (orderBy + limit) — no full sort is materialized.
+- Scores are rounded to SCORE_DECIMALS before ranking; ties break by
+  doc_id asc (documented tie-break, mirrors ES internal-docid tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.config import SCORE_DECIMALS, TOKEN_PATTERN, IndexConfig, DEFAULT_CONFIG
+
+
+def corpus_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) one row per token occurrence — the exploded stream."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+
+
+def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — the uncompressed posting relation."""
+    return (
+        corpus_tokens(docs, id_col, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, doc_len) exact token counts, empty text -> 0."""
+    # cast to long: DuckDB len() is BIGINT and the driver compares schemas
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("doc_len"),
+    )
+
+
+def doc_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df) from the posting relation (each (doc,term) row is distinct)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(doclen: DataFrame) -> DataFrame:
+    """Single row (n_docs, avgdl)."""
+    return doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Exact BM25 top-k over a raw document table (no prebuilt index).
+
+    Returns (doc_id, score) with score rounded to SCORE_DECIMALS; top-k by
+    (score desc, doc_id asc). Disjunctive by default; conjunctive=True keeps
+    only docs matching ALL query terms (D8).
+    """
+    q_terms = sorted(set(query_terms))
+    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
+
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+
+    # Scale-critical: filter the exploded token stream to the query terms
+    # BEFORE any shuffle (broadcast-hash semi-filter), so the
+    # groupBy(doc_id, term) aggregates only matching occurrences instead of
+    # building tf for the whole vocabulary. df is likewise computed only for
+    # query terms (identical values to a full-corpus df for those terms).
+    matched_tokens = corpus_tokens(docs, id_col, text_col).join(
+        F.broadcast(q), "term"
+    )
+    tf = matched_tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    matched = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") / denom)
+
+    per_doc = matched.groupBy("doc_id").agg(
+        F.sum(contrib).alias("raw_score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    if conjunctive:
+        per_doc = per_doc.where(F.col("n_terms_matched") == F.lit(len(q_terms)))
+
+    return (
+        per_doc.select(
+            "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL oracle generator (DuckDB) — same math, same rounding, same ties.
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    conjunctive: bool = False,
+) -> str:
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    n_terms = len(set(query_terms))
+    having = f"HAVING count(*) = {n_terms}" if conjunctive else ""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+), dl AS (
+  SELECT {id_col} AS doc_id,
+         len(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS doc_len
+  FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+), q(term) AS (
+  VALUES {terms_values}
+), scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))) ) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
