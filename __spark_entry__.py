@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from engine.config import SCORE_DECIMALS, TOKEN_PATTERN
 from engine.query import (
     bm25_topk,
+    bm25_topk_from_index,
     bm25_topk_oracle_sql,
     corpus_stats,
     doc_frequencies,
@@ -67,6 +68,31 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, k=20)
 
 
+def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build compressed posting blocks, decode back to (term, doc_id, tf).
+
+    The oracle is plain SQL term frequencies, so the driver's value-hash
+    directly checks the delta+varint block codec end-to-end."""
+    from engine.postings import build_posting_blocks, decode_postings, term_freq_with_doclen
+
+    docs = _docs(spark, sf_dir)
+    blocks = build_posting_blocks(term_freq_with_doclen(docs), docs.count())
+    return decode_postings(blocks)
+
+
+def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k answered from the compressed index, not the raw corpus."""
+    from engine.postings import build_posting_blocks, term_freq_with_doclen
+
+    docs = _docs(spark, sf_dir)
+    blocks = build_posting_blocks(term_freq_with_doclen(docs), docs.count())
+    dl = doc_lengths(docs)
+    stats = corpus_stats(dl).collect()[0]
+    return bm25_topk_from_index(
+        blocks, dl, stats["n_docs"], stats["avgdl"], FLAGSHIP_TERMS, k=20
+    )
+
+
 def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, _docs(spark, sf_dir), ["spark", "table"], k=20, conjunctive=True
@@ -81,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
+        "postings_roundtrip": _q_postings_roundtrip,
+        "bm25_topk_indexed": _q_bm25_topk_indexed,
     }
 
 
@@ -108,4 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_conjunctive": bm25_topk_oracle_sql(
             ["spark", "table"], k=20, conjunctive=True
         ),
+        "postings_roundtrip": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents)
+            SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term
+        """,
+        "bm25_topk_indexed": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
     }

@@ -1,0 +1,90 @@
+"""Posting-block codecs: delta + varint (LEB128), fully numpy-vectorized.
+
+Re-implements, from scratch, the compressed posting-list representation the
+reference gets for free from Lucene inside Elasticsearch 5.5
+(/root/reference/build.gradle:42): per-term postings sorted by docID,
+delta-encoded, varint-compressed, in fixed-size blocks with block-max
+metadata (Lucene block postings / impacts). No per-element Python loops:
+encode/decode are O(max_varint_len)=10 vectorized numpy passes, Arrow-friendly
+for use inside pandas UDFs (BASELINE.json: "no per-row Python").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array -> bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each value: 1 + #thresholds it reaches
+    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for b in range(10):
+        mask = nbytes > b
+        if not mask.any():
+            break
+        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
+        out[starts[mask] + b] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """Decode LEB128 bytes -> uint64 array."""
+    if not data:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_end = (raw & 0x80) == 0
+    # value index of each byte: 0-based running count of terminators before it
+    val_idx = np.concatenate(([0], np.cumsum(is_end)[:-1]))
+    n_vals = int(is_end.sum())
+    starts = np.concatenate(([0], np.nonzero(is_end)[0][:-1] + 1))
+    pos = np.arange(len(raw)) - starts[val_idx]
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    np.bitwise_or.at(
+        vals, val_idx, (raw & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    )
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 ids -> [first, gaps...] as uint64."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(a.size, dtype=np.uint64)
+    out[0] = np.uint64(a[0])
+    if a.size > 1:
+        gaps = np.diff(a)
+        if (gaps <= 0).any():
+            raise ValueError("doc ids must be strictly increasing")
+        out[1:] = gaps.astype(np.uint64)
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode -> int64 ids."""
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(docs_bytes, tfs_bytes) for one block (doc_ids strictly increasing)."""
+    return varint_encode(delta_encode(doc_ids)), varint_encode(
+        np.asarray(tfs, dtype=np.uint64)
+    )
+
+
+def decode_posting_block(docs_bytes: bytes, tfs_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_posting_block -> (int64 doc_ids, int64 tfs)."""
+    return delta_decode(varint_decode(docs_bytes)), varint_decode(tfs_bytes).astype(
+        np.int64
+    )

@@ -1,0 +1,85 @@
+"""Deterministic dense doc-id assignment + doc table.
+
+Re-implements ES's internal docID assignment (reference anchor:
+prepareIndex(...) at /root/reference/src/main/java/org/elasticsearch/kafka/
+indexer/service/ElasticSearchClientService.java:140-146 — ES assigns each
+indexed doc a per-segment monotone int). Here doc_id is a dense rank over a
+deterministic sort key, so the same input produces the same ids at any
+parallelism (`monotonically_increasing_id` is partition-dependent and
+banned, SURVEY.md §4.2).
+
+Two strategies:
+- "window": row_number() OVER (ORDER BY key) — one global sort into a
+  single task for the numbering stage; fine per micro-batch (bounded by
+  rows_per_batch), the default inside the ingest loop.
+- "range": scalable path for bulk builds — repartitionByRange(key) +
+  per-partition counts -> driver prefix sums -> local row_number + base.
+  Total order = range-partition order + local order, so the result is
+  identical to "window" regardless of sampled partition boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    base: int = 0,
+    strategy: str = "window",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds `doc_id` = base + dense 0-based rank over `order_cols`.
+
+    `order_cols` must be a unique key of `df` (we use (url, warc_ts)).
+    """
+    if strategy == "window":
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        return df.withColumn(
+            "doc_id", (F.row_number().over(w) - 1 + F.lit(base)).cast("long")
+        )
+
+    if strategy != "range":
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c).asc() for c in order_cols])
+    # persist: the counts job and the numbering job must see the SAME range
+    # boundaries (repartitionByRange samples; a recompute could re-draw them)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    # per-partition counts -> driver-side prefix sums (n rows, tiny)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    bases, acc = {}, base
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_df = df.sparkSession.createDataFrame(
+        [(pid, b) for pid, b in bases.items()], "_pid int, _base long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(base_df), "_pid")
+        .withColumn("doc_id", (F.col("_base") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_base")
+    )
+
+
+def dedup_last_write_wins(
+    df: DataFrame, key: str = "url", version_col: str = "warc_ts"
+) -> DataFrame:
+    """Upsert-by-id semantics within a batch (reference D10: indexing with an
+    existing id replaces the doc — prepareIndex(indexName, indexType,
+    eventUUID), ElasticSearchClientService.java:140-142). Keeps the row with
+    the greatest `version_col` per `key`."""
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

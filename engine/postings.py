@@ -1,0 +1,166 @@
+"""Inverted-index construction: posting lists as compressed block rows.
+
+Re-implements what the reference delegates to Lucene inside ES 5.5 (D3/D4 in
+SURVEY.md §2.5; anchor /root/reference/build.gradle:42): per-term posting
+lists of (docID, tf), sorted by docID, delta+varint-compressed into
+fixed-size blocks with block-max metadata (Lucene block postings/impacts).
+
+Plan shape (scale-first):
+  tokens = explode(tokenize(text))                       # narrow
+  tf     = groupBy(doc_id, term).count                   # shuffle 1 (by doc+term; partial agg map-side)
+  tf+dl  = join doc_lengths on doc_id                    # co-keyed with shuffle 1
+  df     = groupBy(term).count                           # tiny after partial agg
+  blocks = groupBy(term, bucket).applyInPandas(encode)   # shuffle 2 (by term)
+
+Hot-term skew (Zipfian "the"-like terms hit ~every doc) is defused by
+RANGE-bucketing, not hash-salting: bucket = floor(doc_id * S_t / n_docs)
+with S_t sized from df(t), so each (term, bucket) group is a bounded,
+CONTIGUOUS doc_id range. Contiguity means per-bucket encoded blocks
+concatenate into the term's globally doc_id-sorted posting list without a
+second merge pass — the re-sort a hash salt would force (SURVEY.md §4.2).
+Rare terms get S_t = 1 (no block fragmentation).
+
+Block-max metadata stores (max_tf, min_dl) impacts rather than a frozen
+score: BM25 upper bounds are recomputed from CURRENT global stats at query
+time (score rises in tf, falls in dl), so merges/new segments never
+invalidate stored metadata — same reason Lucene stores impacts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.codecs import decode_posting_block, encode_posting_block
+from engine.config import DEFAULT_CONFIG, IndexConfig
+
+POSTINGS_SCHEMA = (
+    "term string, n int, min_doc long, max_doc long, "
+    "doc_bytes binary, tf_bytes binary, max_tf int, min_dl int"
+)
+
+# Max postings per (term, bucket) group — bounds applyInPandas group memory.
+# 1M postings ~ 8-16 MB in-flight per group; at 10^12 docs a df=9e11 hot term
+# fans out to ~900k parallel groups instead of one 9e11-row reducer.
+DEFAULT_BUCKET_POSTINGS = 1 << 20
+
+
+def term_freq_with_doclen(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, dl): posting relation joined with doc lengths.
+
+    tf and dl are derived in ONE tokenize pass: dl = sum(tf) over the doc's
+    terms (token count == sum of term frequencies), so no second corpus scan.
+    The window adds one doc_id-keyed exchange, but over the already-aggregated
+    tf relation — much smaller than re-scanning + re-exploding raw text.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    return tf.withColumn("dl", F.sum("tf").over(w).cast("long"))
+
+
+def build_posting_blocks(
+    tf_dl: DataFrame,
+    n_docs: int,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    bucket_postings: int = DEFAULT_BUCKET_POSTINGS,
+) -> DataFrame:
+    """(doc_id, term, tf, dl) -> compressed block rows (POSTINGS_SCHEMA)."""
+    dfreq = tf_dl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_buckets = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(bucket_postings))
+    ).cast("long")
+    with_bucket = (
+        tf_dl.join(dfreq.select("term", n_buckets.alias("s_t")), "term")
+        .withColumn(
+            "bucket",
+            # double math: long*long would overflow at 10^12-doc scale; the
+            # float rounding only nudges bucket boundaries, ranges stay
+            # contiguous (monotone in doc_id), which is all we need
+            F.least(
+                F.col("s_t") - 1,
+                F.floor(
+                    F.col("doc_id").cast("double")
+                    * F.col("s_t").cast("double")
+                    / F.lit(float(max(n_docs, 1)))
+                ).cast("long"),
+            ),
+        )
+    )
+
+    block_size = cfg.block_size
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        term = pdf["term"].iloc[0]
+        rows = []
+        for s in range(0, len(docs), block_size):
+            e = min(s + block_size, len(docs))
+            db, tb = encode_posting_block(docs[s:e], tfs[s:e])
+            rows.append(
+                (
+                    term,
+                    e - s,
+                    int(docs[s]),
+                    int(docs[e - 1]),
+                    db,
+                    tb,
+                    int(tfs[s:e].max()),
+                    int(dls[s:e].min()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "n", "min_doc", "max_doc",
+                "doc_bytes", "tf_bytes", "max_tf", "min_dl",
+            ],
+        )
+
+    return with_bucket.groupBy("term", "bucket").applyInPandas(
+        encode, schema=POSTINGS_SCHEMA
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df) from block rows — the query planner's tiny side table."""
+    return postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+
+
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Block rows -> long form (term, doc_id, tf); vectorized Arrow decode."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            terms, docs, tfs = [], [], []
+            for t, db, tb in zip(b["term"], b["doc_bytes"], b["tf_bytes"]):
+                d, f_ = decode_posting_block(bytes(db), bytes(tb))
+                docs.append(d)
+                tfs.append(f_)
+                terms.append(np.full(len(d), t, dtype=object))
+            if not terms:
+                yield pd.DataFrame({"term": [], "doc_id": [], "tf": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs),
+                }
+            )
+
+    return postings.mapInPandas(dec, schema="term string, doc_id long, tf long")

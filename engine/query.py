@@ -133,6 +133,58 @@ def bm25_topk(
     )
 
 
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doc_table: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Exact BM25 top-k over a prebuilt block-postings index.
+
+    `postings`: POSTINGS_SCHEMA block rows (engine.postings).
+    `doc_table`: (doc_id, doc_len). n_docs/avgdl from index stats.
+
+    The term filter uses isin() so a Parquet-backed postings table gets
+    predicate pushdown + row-group skipping (postings are written sorted by
+    term); only the query terms' blocks are ever read or decoded.
+    """
+    from engine.postings import decode_postings, term_stats
+
+    q_terms = sorted(set(query_terms))
+    cand = postings.where(F.col("term").isin(q_terms))
+    tf = decode_postings(cand)
+    dfreq = term_stats(cand)  # df(t) = sum of block n per term — exact
+
+    matched = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doc_table.select("doc_id", "doc_len"), "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.lit(float(avgdl))
+    )
+    per_doc = matched.groupBy("doc_id").agg(
+        F.sum(idf * (F.col("tf") / denom)).alias("raw_score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    if conjunctive:
+        per_doc = per_doc.where(F.col("n_terms_matched") == F.lit(len(q_terms)))
+    return (
+        per_doc.select(
+            "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANSI-SQL oracle generator (DuckDB) — same math, same rounding, same ties.
 # ---------------------------------------------------------------------------

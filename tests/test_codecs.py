@@ -1,0 +1,76 @@
+"""Property-style round-trip tests for the posting codecs (SURVEY.md §5.2-1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.codecs import (
+    decode_posting_block,
+    delta_decode,
+    delta_encode,
+    encode_posting_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == xs
+
+
+def test_varint_boundaries():
+    edges = [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**35, 2**63 - 1]
+    arr = np.array(edges, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == edges
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True)
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    ids = sorted(ids)
+    arr = np.array(ids, dtype=np.int64)
+    assert delta_decode(delta_encode(arr)).tolist() == ids
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode(np.array([5, 3], dtype=np.int64))
+    with pytest.raises(ValueError):
+        delta_encode(np.array([3, 3], dtype=np.int64))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=0,
+        max_size=256,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_block_roundtrip(pairs):
+    pairs = sorted({d: t for d, t in pairs}.items())
+    docs = np.array([d for d, _ in pairs], dtype=np.int64)
+    tfs = np.array([t for _, t in pairs], dtype=np.int64)
+    db, tb = encode_posting_block(docs, tfs)
+    d2, t2 = decode_posting_block(db, tb)
+    assert d2.tolist() == docs.tolist()
+    assert t2.tolist() == tfs.tolist()
+
+
+def test_compression_is_compact():
+    docs = np.arange(0, 128 * 50, 50, dtype=np.int64)  # gaps of 50 -> 1 byte each
+    tfs = np.ones(128, dtype=np.int64)
+    db, tb = encode_posting_block(docs, tfs)
+    assert len(db) <= 2 + 127  # first id ≤2 bytes + 1-byte gaps
+    assert len(tb) == 128
