@@ -86,16 +86,123 @@ def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     blocks = build_posting_blocks(term_freq_with_doclen(docs), docs.count())
-    dl = doc_lengths(docs)
-    stats = corpus_stats(dl).collect()[0]
+    stats = corpus_stats(doc_lengths(docs)).collect()[0]
     return bm25_topk_from_index(
-        blocks, dl, stats["n_docs"], stats["avgdl"], FLAGSHIP_TERMS, k=20
+        blocks, stats["n_docs"], stats["avgdl"], FLAGSHIP_TERMS, k=20
     )
 
 
 def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, _docs(spark, sf_dir), ["spark", "table"], k=20, conjunctive=True
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_ANN_QUERY_VEC = None
+
+
+def _ann_query_vec() -> list[float]:
+    global _ANN_QUERY_VEC
+    if _ANN_QUERY_VEC is None:
+        import numpy as np
+
+        _ANN_QUERY_VEC = [float(x) for x in np.random.default_rng(7).standard_normal(64)]
+    return _ANN_QUERY_VEC
+
+
+def _q_quality_features(spark, sf_dir):
+    from engine.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    from engine.textstats import token_count_bpe
+
+    return token_count_bpe(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from engine.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from engine.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_duplicates(spark, sf_dir):
+    from engine.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from engine.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from engine.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=64, bands=16, threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from engine.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from engine.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), _ann_query_vec(), k=15)
+
+
+def _q_cosine_pairs(spark, sf_dir):
+    from engine.similarity import cosine_pairs
+
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from engine.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), _ann_query_vec(), k=15, n_bits=12, n_probes=12)
+
+
+def _q_filtered_alias(spark, sf_dir):
+    """Filtered alias (S11) — the reference's only literal query operator:
+    a view restricted by termQuery(field, value)
+    (ElasticSearchClientService.java:135-138). Catalyst pushes the equality
+    into the parquet scan."""
+    return _docs(spark, sf_dir).where(F.col("lang") == "en").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_offset_ledger(spark, sf_dir):
+    """Per-partition committed-offset high-water marks over the events table
+    (reference S2/S3 offset semantics: partition = event_id % 4,
+    offset = event_id / 4)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("part_id", (F.col("event_id") % 4).cast("int"))
+        .withColumn("row_offset", F.floor(F.col("event_id") / 4).cast("long"))
+        .groupBy("part_id")
+        .agg(
+            F.max("row_offset").alias("committed_offset"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
     )
 
 
@@ -109,6 +216,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "postings_roundtrip": _q_postings_roundtrip,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "quality_features": _q_quality_features,
+        "token_count_bpe": _q_token_count,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "exact_duplicates": _q_exact_duplicates,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_near_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "filtered_alias_view": _q_filtered_alias,
+        "offset_ledger": _q_offset_ledger,
     }
 
 
@@ -137,8 +257,46 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "table"], k=20, conjunctive=True
         ),
         "postings_roundtrip": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents)
-            SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term
+            WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents),
+            tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, {_DLEN} AS dl FROM documents)
+            SELECT term, tf.doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
         """,
         "bm25_topk_indexed": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        "quality_features": _ts().quality_features_oracle_sql(),
+        "token_count_bpe": _ts().token_count_bpe_oracle_sql(),
+        "lang_id": _ts().lang_id_oracle_sql(),
+        "fingerprint": _ts().fingerprint_oracle_sql(),
+        "exact_duplicates": _dd().exact_duplicates_oracle_sql(),
+        "ngram_jaccard_pairs": _dd().ngram_jaccard_oracle_sql(threshold=0.5, k=3),
+        # minhash_lsh_pairs / simhash_near_pairs / ann_lsh_topk: hash-family
+        # ops not expressible in ANSI SQL -> rows-only driver check; their
+        # strong checks (recall vs exact, determinism) live in tests/.
+        "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
+        "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
+        "filtered_alias_view": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+        "offset_ledger": """
+            SELECT CAST(event_id % 4 AS INT) AS part_id,
+                   CAST(max(floor(event_id / 4)) AS BIGINT) AS committed_offset,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
     }
+
+
+def _ts():
+    from engine import textstats
+
+    return textstats
+
+
+def _dd():
+    from engine import dedup
+
+    return dedup
+
+
+def _sim():
+    from engine import similarity
+
+    return similarity

@@ -1,7 +1,9 @@
 """Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1).
 
-Schema matches BASELINE.json's input hint exactly:
-    url: string, warc_ts: timestamp, html: binary, text: string, lang: string
+Schema matches BASELINE.json's input hint
+    (url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+plus a `row_id: long` lineage column (the Kafka offset analog the ingest
+loop partitions on; reference envelope ConsumerWorker.java:69-72).
 
 Every row is a pure function of its row id (splitmix64-mixed), so the
 corpus is byte-identical regardless of Spark parallelism or partitioning —
@@ -28,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 CORPUS_SCHEMA = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
+    "row_id long, url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
 HOT_TERM = "engine"  # VOCAB[0]; forced into ~90% of documents
@@ -88,7 +90,6 @@ def generate_batch(ids: np.ndarray, vocab: list[str], cdf: np.ndarray) -> pd.Dat
 
     # doc length in tokens: 20..600 uniform (special rows overridden below)
     lens = (20 + _mix64(ids ^ np.uint64(0xA5A5)) % np.uint64(581)).astype(np.int64)
-    small = ids < 6
     lens[ids == 0] = 0
     lens[ids == 1] = 1
     lens[ids == 2] = 8
@@ -147,6 +148,7 @@ def generate_batch(ids: np.ndarray, vocab: list[str], cdf: np.ndarray) -> pd.Dat
 
     return pd.DataFrame(
         {
+            "row_id": ids.astype(np.int64),
             "url": urls,
             "warc_ts": pd.Series(warc_ts),
             "html": html,

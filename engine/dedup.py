@@ -1,0 +1,321 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is upsert-by-id, D10): the
+near-duplicate detection a 100 TB web-text corpus needs before indexing or
+training. Five detectors, each with the idiomatic-Spark scale shape:
+
+  - exact_duplicates: md5-fingerprint groupBy (one shuffle of (fp, doc_id))
+  - ngram_jaccard_pairs: exact word-shingle Jaccard via a shingle-inverted
+    self-join (the brute-force oracle; bounded by rare-shingle candidates)
+  - minhash_lsh_pairs: MinHash signatures (numpy-vectorized universal
+    hashing) banded into LSH buckets; only same-bucket pairs are verified —
+    the scale path: candidate generation is a groupBy(bucket), never an
+    all-pairs join
+  - simhash64: 64-bit SimHash fingerprints + hamming-ball candidate pairs
+    (bit-band blocking, 4x16-bit tables)
+  - embedding near-dup / ANN: see engine.similarity
+
+Determinism: all hash seeds fixed; every op is a pure function of input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.config import SCORE_DECIMALS
+from engine.textstats import fingerprint
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, keep_id): every doc whose normalized text equals an earlier
+    doc's, mapped to the smallest doc_id with that fingerprint."""
+    fp = fingerprint(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        fp.join(keep, "fp")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "keep_id")
+    )
+
+
+def exact_duplicates_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = f"md5(regexp_replace(lower(trim(coalesce({text_col}, ''))), '\\s+', ' ', 'g'))"
+    return f"""
+WITH fp AS (SELECT {id_col} AS doc_id, {norm} AS fp FROM {table}),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
+SELECT doc_id, keep_id FROM fp JOIN keep USING (fp) WHERE doc_id <> keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# word-shingle sets + exact Jaccard (the oracle-grade near-dup detector)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle): distinct word k-grams (space-joined). Docs with
+    fewer than k tokens produce no shingles."""
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    idx = F.sequence(F.lit(0), F.size("t") - k)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice("t", i + 1, k), " "))
+    return (
+        toks.where(F.size("t") >= k)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via shingle-inverted self-join:
+    |A∩B| from the join on shared shingles, |A∪B| = |A|+|B|-|A∩B|.
+    Shuffles (doc, shingle) twice; candidate pairs only exist for docs
+    sharing >=1 shingle (rare-shingle blocking does the pruning)."""
+    sh = shingles(df, k, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), SCORE_DECIMALS))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(
+    threshold: float = 0.8, k: int = 3, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+  FROM t WHERE len(t) >= {k}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), {SCORE_DECIMALS}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), {SCORE_DECIMALS}) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+_MH_SEED = 0x5EED
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized uint64 (same family as engine.corpus)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _perm_seeds(num_perm: int) -> np.ndarray:
+    return np.random.default_rng(_MH_SEED).integers(
+        0, 2**63, size=num_perm, dtype=np.uint64
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, num_perm: int = 64, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures.
+
+    Shingle strings are hashed JVM-side (xxhash64 — no per-row Python);
+    the pandas stage only does vectorized uint64 mixing: perm_i's hash of a
+    shingle is splitmix64(h ^ seed_i), signature = column-wise min."""
+    seeds = _perm_seeds(num_perm)
+    sh = shingles(df, k, text_col, id_col).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+
+    def sig(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+        mins = _mix64(h[:, None] ^ seeds[None, :]).min(axis=0)
+        return pd.DataFrame(
+            {"doc_id": [pdf["doc_id"].iloc[0]], "sig": [mins.view(np.int64).tolist()]}
+        )
+
+    return sh.groupBy("doc_id").applyInPandas(sig, schema="doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, num_perm: int = 64, bands: int = 16, k: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates: same (band, band-hash) bucket for any of `bands`
+    bands of `num_perm/bands` rows, then exact-Jaccard-verified >= threshold.
+
+    Scale shape: candidates come from groupBy(band, bucket) — never an
+    all-pairs comparison; verification joins the (small) candidate set back
+    to the shingle relation."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, k, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.hash(F.slice("sig", i * rows + 1, rows)).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard
+    sh = shingles(df, k, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sha, "id_a").join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), SCORE_DECIMALS))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over token hashes weighted by tf."""
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    tf = tf.select("doc_id", F.xxhash64("term").alias("h"), "tf")
+
+    def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"doc_id": [], "partial": [], "cnt": []})
+                continue
+            h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+            tfv = pdf["tf"].to_numpy(np.int64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            contrib = (2 * bits - 1) * tfv[:, None]  # +tf for 1-bit, -tf for 0-bit
+            g = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy()})
+            for j in range(64):
+                g[f"b{j}"] = contrib[:, j]
+            agg = g.groupby("doc_id", as_index=False).sum()
+            yield pd.DataFrame(
+                {
+                    "doc_id": agg["doc_id"],
+                    "partial": [row.tolist() for row in agg[[f"b{j}" for j in range(64)]].to_numpy()],
+                    "cnt": 1,
+                }
+            )
+
+    partials = tf.repartition("doc_id").mapInPandas(
+        sh, schema="doc_id long, partial array<long>, cnt int"
+    )
+    summed = partials.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("partial"),
+            F.array(*[F.lit(0).cast("long")] * 64),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+        ).alias("bitsums")
+    )
+    bit_expr = F.aggregate(
+        F.zip_with(
+            F.col("bitsums"),
+            F.array(*[F.lit(1 << j).cast("long") for j in range(63)] + [F.lit(-(1 << 63)).cast("long")]),
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return summed.select("doc_id", bit_expr.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, blocked on
+    4x16-bit bands (any pair within hamming<=3 shares at least one of 4
+    bands by pigeonhole)."""
+    sh = simhash64(df, text_col, id_col)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.key") == F.col("y.key"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,233 @@
+"""Micro-ingest loop: the reference's consumer hot path, Spark-first.
+
+One loop iteration == one Spark job == one `consumer.poll` cycle of the
+reference (/root/reference/src/main/java/org/elasticsearch/kafka/indexer/
+jobs/ConsumerWorker.java:50-143):
+
+    slice next batch (per-partition offset window)        # poll, S1
+      -> extract_text transform, failures -> quarantine   # T1/T3/S13
+      -> dedup last-write-wins within batch               # D10
+      -> assign doc ids (base from ledger)                # D2
+      -> build posting blocks + doc table + stats         # D3/D4
+      -> write immutable segment                          # S5 (bulk post)
+      -> commit ledger entry with partition offsets       # S3 (commitAsync
+         only after successful post, ConsumerWorker.java:117-120)
+
+Start options mirror ConsumerStartOption (jobs/ConsumerManager.java:144-178):
+EARLIEST / LATEST / RESTART (resume from committed) / CUSTOM(offsets).
+
+Recovery (E1, IndexerESRecoverableException semantics): any failure before
+the ledger commit leaves the ledger untouched; re-running the same batch id
+deterministically rebuilds and overwrites the orphan segment. Idempotency
+comes from segment_id = f(batch_id) and deterministic doc-id assignment.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analysis import with_extracted_text
+from engine.config import DEFAULT_CONFIG, IndexConfig
+from engine.docids import assign_doc_ids, dedup_last_write_wins
+from engine.postings import build_posting_blocks, term_freq_with_doclen
+from engine.segments import IndexStore, LedgerEntry
+
+EARLIEST = "EARLIEST"
+LATEST = "LATEST"
+RESTART = "RESTART"
+
+
+def as_partitioned_source(pages: DataFrame, num_partitions: int, id_col: str = "row_id") -> DataFrame:
+    """Give a corpus table Kafka-like lineage: (part_id, row_offset).
+
+    part_id = row_id % P, row_offset = row_id / P — dense, monotone per
+    partition, deterministic (the reference's topic-partition + offset model,
+    ConsumerWorker.java:69-72)."""
+    return pages.withColumn(
+        "part_id", (F.col(id_col) % num_partitions).cast("int")
+    ).withColumn("row_offset", (F.col(id_col) / num_partitions).cast("long"))
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    segment_id: str
+    n_docs: int
+    n_failed: int
+    committed: bool
+    metrics: dict
+
+
+def resolve_start_offsets(
+    store: IndexStore,
+    source: DataFrame,
+    start_option: str = RESTART,
+    custom: dict[int, int] | None = None,
+) -> dict[int, int]:
+    """Per-partition high-water marks to resume from (S2)."""
+    if start_option == EARLIEST:
+        return {}
+    if start_option == RESTART:
+        return store.committed_offsets()
+    if start_option == LATEST:
+        rows = source.groupBy("part_id").agg(F.max("row_offset").alias("m")).collect()
+        return {r["part_id"]: r["m"] for r in rows}
+    if start_option == "CUSTOM":
+        return dict(custom or {})
+    raise ValueError(f"unknown start option: {start_option}")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    source: DataFrame,
+    batch_id: int,
+    hwm: dict[int, int],
+    rows_per_partition: int,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    fail_before_commit: bool = False,
+) -> BatchResult | None:
+    """Ingest one offset window above `hwm`. Returns None when the window is
+    empty (S6 empty-batch no-op). `fail_before_commit` simulates a crash
+    between segment write and ledger commit (recovery tests, SURVEY.md §5.2-3)."""
+    t0 = time.monotonic()
+    if store.has_batch(batch_id):
+        raise RuntimeError(f"batch {batch_id} already committed")  # E4 guard
+
+    hwm_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in hwm.items()] or [(-1, -1)],
+        "part_id int, committed long",
+    )
+    window = (
+        source.join(F.broadcast(hwm_df), "part_id", "left")
+        .where(
+            (F.col("row_offset") > F.coalesce(F.col("committed"), F.lit(-1)))
+            & (
+                F.col("row_offset")
+                <= F.coalesce(F.col("committed"), F.lit(-1)) + rows_per_partition
+            )
+        )
+        .drop("committed")
+    )
+    ext = with_extracted_text(window).cache()
+    # one action doubles as the empty-batch check (S6) and the offset scan
+    offs_rows = (
+        ext.groupBy("part_id").agg(F.max("row_offset").alias("m")).collect()
+    )
+    if not offs_rows:
+        ext.unpersist()
+        return None
+    offs = {str(r["part_id"]): r["m"] for r in offs_rows}
+    try:
+        failed = ext.where(F.col("extract_error").isNotNull())
+        n_failed = failed.count()
+        segment_id = f"seg-{batch_id:08d}"
+        if n_failed:
+            # quarantine side-output (S13): offset + error + payload
+            failed.select(
+                "url", "part_id", "row_offset", "extract_error",
+                F.col("html").alias("payload"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(store.path, "quarantine", segment_id)
+            )
+
+        good = ext.where(F.col("extract_error").isNull()).drop("extract_error", "html")
+        good = dedup_last_write_wins(good, "url", "warc_ts")
+
+        base = store.next_doc_id_base()
+        docs_ided = assign_doc_ids(good, ["url", "warc_ts"], base=base).cache()
+
+        tf_dl = term_freq_with_doclen(docs_ided, text_col="extracted_text")
+        # doc_len from the SAME tokenizer as postings
+        from engine.analysis import tokens
+
+        doc_table = docs_ided.select(
+            "doc_id", "url",
+            F.size(tokens("extracted_text")).cast("long").alias("doc_len"),
+            "warc_ts", "lang", "part_id", "row_offset",
+        )
+
+        agg = doc_table.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
+
+        blocks = build_posting_blocks(tf_dl, max(base + n_docs, 1), cfg)
+        written = store.write_segment(
+            segment_id,
+            blocks,
+            doc_table,
+            {
+                "segment_id": segment_id,
+                "base_doc_id": base,
+                "doc_id_hwm": base + int(n_docs),
+                "n_docs": int(n_docs),
+                "sum_dl": int(sum_dl),
+                "batch_id": batch_id,
+            },
+        )
+        # metrics from the parquet read-back (no recompute of the build plan):
+        # skew = largest / median per-term posting-list length
+        q = (
+            written.groupBy("term").agg(F.sum("n").alias("g"))
+            .agg(F.max("g").alias("mx"), F.expr("percentile_approx(g, 0.5)").alias("md"))
+            .collect()[0]
+        )
+        build_s = time.monotonic() - t0
+        metrics = {
+            "batch_id": batch_id,
+            "n_docs": int(n_docs),
+            "n_failed": int(n_failed),
+            "build_sec": round(build_s, 3),
+            "docs_per_sec": round(n_docs / build_s, 1) if build_s > 0 else None,
+            "skew_max_over_median_df": (q["mx"] / q["md"]) if q["md"] else None,
+        }
+
+        if fail_before_commit:  # crash window simulation (E1)
+            return BatchResult(batch_id, segment_id, n_docs, n_failed, False, metrics)
+
+        store.commit(
+            LedgerEntry(
+                entry_id=store.next_entry_id(),
+                kind="ingest",
+                segments_added=[segment_id],
+                partition_offsets=offs,
+                metrics=metrics,
+            )
+        )
+        return BatchResult(batch_id, segment_id, n_docs, n_failed, True, metrics)
+    finally:
+        ext.unpersist()
+
+
+def run_ingest_loop(
+    spark: SparkSession,
+    store: IndexStore,
+    source: DataFrame,
+    rows_per_partition: int,
+    start_option: str = RESTART,
+    custom_offsets: dict[int, int] | None = None,
+    max_batches: int | None = None,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> list[BatchResult]:
+    """The poll loop (ConsumerWorker.run): ingest windows until the source is
+    drained (or max_batches). Each iteration re-reads committed offsets, so a
+    killed/restarted loop resumes exactly where the ledger says."""
+    results: list[BatchResult] = []
+    while max_batches is None or len(results) < max_batches:
+        hwm = resolve_start_offsets(store, source, start_option, custom_offsets)
+        # after the first batch we always follow the ledger
+        start_option, custom_offsets = RESTART, None
+        batch_id = store.next_entry_id()
+        res = ingest_batch(
+            spark, store, source, batch_id, hwm, rows_per_partition, cfg
+        )
+        if res is None:
+            break
+        results.append(res)
+    return results

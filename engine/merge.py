@@ -1,0 +1,105 @@
+"""Log-structured segment merge (SURVEY.md §2.5 D5).
+
+Re-implements Lucene's background merge semantics (the reference's output
+system; anchor /root/reference/build.gradle:42 + index lifecycle S7-S11):
+k segments -> one segment with
+  - per-term posting lists k-way merged (doc-id bases are disjoint and
+    increasing, so a term's per-segment lists concatenate in segment order;
+    the relational groupBy(term) + re-encode restores full 128-blocks),
+  - superseded docs expunged (last-write-wins by (url, warc_ts, doc_id) —
+    Lucene's "expunge deletes"; reference upsert D10),
+  - corpus stats recomputed over surviving docs only.
+
+The merge commits one ledger entry (adds merged, removes inputs) — readers
+flip atomically; input segment files can be garbage-collected afterwards.
+Merge policy: log-structured — merge when >= `merge_factor` live segments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.config import DEFAULT_CONFIG, IndexConfig
+from engine.postings import build_posting_blocks, decode_postings
+from engine.segments import IndexStore, LedgerEntry
+
+
+def live_doc_ids(docs_df):
+    """Latest doc per url: rank by (warc_ts desc, doc_id desc) — newest
+    segment wins ties, matching ES upsert-by-id last-write-wins (D10)."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("doc_id").desc()
+    )
+    return (
+        docs_df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def merge_segments(
+    spark: SparkSession,
+    store: IndexStore,
+    segment_ids: list[str] | None = None,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> str:
+    """Merge `segment_ids` (default: all live) into one segment. Returns the
+    new segment id. Crash-safe: the ledger entry is committed last; a failed
+    merge leaves inputs live and the orphan output is overwritten on retry."""
+    inputs = store.live_segments() if segment_ids is None else list(segment_ids)
+    if len(inputs) < 2:
+        raise ValueError("need at least 2 segments to merge")
+
+    entry_id = store.next_entry_id()
+    out_id = f"merge-{entry_id:08d}"
+
+    docs = store.docs(spark, inputs)
+    live = live_doc_ids(docs).cache()
+    try:
+        postings_long = decode_postings(store.postings(spark, inputs))
+        # expunge superseded docs' postings (dl already travels in the blocks)
+        merged_tf_dl = postings_long.join(
+            live.select("doc_id"), "doc_id", "left_semi"
+        )
+
+        hwm = store.next_doc_id_base()
+        blocks = build_posting_blocks(merged_tf_dl, max(hwm, 1), cfg)
+
+        n_docs = live.count()
+        sum_dl = live.agg(F.sum("doc_len")).collect()[0][0] or 0
+        stats = {
+            "segment_id": out_id,
+            "base_doc_id": 0,
+            "doc_id_hwm": hwm,
+            "n_docs": int(n_docs),
+            "sum_dl": int(sum_dl),
+            "merged_from": inputs,
+        }
+        store.write_segment(out_id, blocks, live, stats)
+        store.commit(
+            LedgerEntry(
+                entry_id=entry_id,
+                kind="merge",
+                segments_added=[out_id],
+                segments_removed=inputs,
+                metrics={"n_inputs": len(inputs), "n_docs": int(n_docs)},
+            )
+        )
+        return out_id
+    finally:
+        live.unpersist()
+
+
+def maybe_merge(
+    spark: SparkSession,
+    store: IndexStore,
+    merge_factor: int = 8,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> str | None:
+    """Log-structured policy: merge all live segments when there are >=
+    merge_factor of them (single-tier; tiers are a policy refinement)."""
+    live = store.live_segments()
+    if len(live) >= merge_factor:
+        return merge_segments(spark, store, live, cfg)
+    return None

@@ -36,12 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.analysis import tokens
-from engine.codecs import decode_posting_block, encode_posting_block
+from engine.codecs import decode_posting_block, encode_posting_block, varint_decode, varint_encode
 from engine.config import DEFAULT_CONFIG, IndexConfig
 
 POSTINGS_SCHEMA = (
     "term string, n int, min_doc long, max_doc long, "
-    "doc_bytes binary, tf_bytes binary, max_tf int, min_dl int"
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf int, min_dl int"
 )
 
 # Max postings per (term, bucket) group — bounds applyInPandas group memory.
@@ -111,6 +111,9 @@ def build_posting_blocks(
         for s in range(0, len(docs), block_size):
             e = min(s + block_size, len(docs))
             db, tb = encode_posting_block(docs[s:e], tfs[s:e])
+            # dl travels with the block (Lucene norms analog): scoring and
+            # WAND never need a doc-table join
+            lb = varint_encode(dls[s:e].astype(np.uint64))
             rows.append(
                 (
                     term,
@@ -119,6 +122,7 @@ def build_posting_blocks(
                     int(docs[e - 1]),
                     db,
                     tb,
+                    lb,
                     int(tfs[s:e].max()),
                     int(dls[s:e].min()),
                 )
@@ -127,7 +131,7 @@ def build_posting_blocks(
             rows,
             columns=[
                 "term", "n", "min_doc", "max_doc",
-                "doc_bytes", "tf_bytes", "max_tf", "min_dl",
+                "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "min_dl",
             ],
         )
 
@@ -142,25 +146,31 @@ def term_stats(postings: DataFrame) -> DataFrame:
 
 
 def decode_postings(postings: DataFrame) -> DataFrame:
-    """Block rows -> long form (term, doc_id, tf); vectorized Arrow decode."""
+    """Block rows -> long form (term, doc_id, tf, dl); vectorized decode."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            terms, docs, tfs = [], [], []
-            for t, db, tb in zip(b["term"], b["doc_bytes"], b["tf_bytes"]):
+            terms, docs, tfs, dls = [], [], [], []
+            for t, db, tb, lb in zip(
+                b["term"], b["doc_bytes"], b["tf_bytes"], b["dl_bytes"]
+            ):
                 d, f_ = decode_posting_block(bytes(db), bytes(tb))
                 docs.append(d)
                 tfs.append(f_)
+                dls.append(varint_decode(bytes(lb)).astype(np.int64))
                 terms.append(np.full(len(d), t, dtype=object))
             if not terms:
-                yield pd.DataFrame({"term": [], "doc_id": [], "tf": []})
+                yield pd.DataFrame({"term": [], "doc_id": [], "tf": [], "dl": []})
                 continue
             yield pd.DataFrame(
                 {
                     "term": np.concatenate(terms),
                     "doc_id": np.concatenate(docs),
                     "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
                 }
             )
 
-    return postings.mapInPandas(dec, schema="term string, doc_id long, tf long")
+    return postings.mapInPandas(
+        dec, schema="term string, doc_id long, tf long, dl long"
+    )

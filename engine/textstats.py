@@ -1,0 +1,146 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond the reference's operator surface: the quality/language/token ops a
+100 TB web-text pipeline needs in front of indexing or model training.
+All hot paths are JVM-side column expressions (codegen, no Python); every
+op has an exactly-matching DuckDB oracle expression (same regexes, same
+lexicons) so the driver's value-hash check is strong.
+
+Ops:
+  - quality_features: length/punct/stopword/uppercase ratios, avg token len
+  - token_count_bpe: whitespace + BPE-ish regex token counting
+  - lang_id: stopword-lexicon n-gram heuristic (argmax over languages)
+  - fingerprint: md5 of whitespace-normalized lowercased text (md5 is
+    bit-identical between Spark and DuckDB -> strong oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.config import SCORE_DECIMALS
+
+# tiny per-language stopword lexicons (deterministic, shared with the oracle)
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "una", "en", "por"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "ein", "mit", "zu"],
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (GPT-2-style pretokenization simplified to a Java/RE2-shared subset)
+BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+PUNCT_RE = r"[^\p{L}\p{N}\s]"
+UPPER_RE = r"[\p{Lu}]"
+
+
+def _nz(x: Column) -> Column:
+    return F.greatest(x, F.lit(1)).cast("double")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals (all ratios rounded for oracle comparison)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(UPPER_RE), 0))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])))
+    r = lambda c: F.round(c, SCORE_DECIMALS)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        r(n_chars / _nz(n_tokens)).alias("avg_token_len"),
+        r(n_punct / _nz(n_chars)).alias("punct_ratio"),
+        r(n_upper / _nz(n_chars)).alias("upper_ratio"),
+        r(n_stop / _nz(n_tokens)).alias("stopword_ratio"),
+    )
+
+
+def quality_features_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    stop = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    return f"""
+SELECT {id_col} AS doc_id,
+  length(coalesce({text_col}, '')) AS n_chars,
+  len(regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')) AS n_tokens,
+  round(length(coalesce({text_col}, '')) / greatest(len(regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')), 1), {SCORE_DECIMALS}) AS avg_token_len,
+  round(len(regexp_extract_all(coalesce({text_col}, ''), '{PUNCT_RE}')) / greatest(length(coalesce({text_col}, '')), 1), {SCORE_DECIMALS}) AS punct_ratio,
+  round(len(regexp_extract_all(coalesce({text_col}, ''), '{UPPER_RE}')) / greatest(length(coalesce({text_col}, '')), 1), {SCORE_DECIMALS}) AS upper_ratio,
+  round(len(list_intersect(list_distinct(regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')), [{stop}])) * 1.0 / greatest(len(regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')), 1), {SCORE_DECIMALS}) AS stopword_ratio
+FROM {table}
+"""
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish pre-token count (the 'how many tokens will training see' op)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def token_count_bpe_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+  len(regexp_extract_all(coalesce({text_col}, ''), '{BPE_RE}')) AS n_bpe_tokens,
+  len(regexp_split_to_array(trim(coalesce({text_col}, '')), '\\s+')) AS n_ws_tokens
+FROM {table}
+"""
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic: argmax over per-lang lexicon hit
+    counts; 'und' (undetermined) when nothing matches. Deterministic
+    tie-break: lexicographic language order."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in lex])))
+        for lang, lex in sorted(LANG_LEXICONS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_LEXICONS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = f"list_distinct(regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+'))"
+    score = {
+        lang: f"len(list_intersect({toks}, [{', '.join(repr(w) for w in lex)}]))"
+        for lang, lex in sorted(LANG_LEXICONS.items())
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(LANG_LEXICONS)
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+  CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+FROM {table}
+"""
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over lowercased, whitespace-normalized text
+    (md5 is bit-identical across Spark/DuckDB — exact dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
+    return df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+def fingerprint_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+  md5(regexp_replace(lower(trim(coalesce({text_col}, ''))), '\\s+', ' ', 'g')) AS fp
+FROM {table}
+"""

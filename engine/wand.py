@@ -1,0 +1,232 @@
+"""Block-max top-k executor (the WAND family, SURVEY.md §2.5 D7).
+
+Re-implements the query-side pruning the reference gets from Lucene's
+block-max WAND inside ES 5.5 (anchor /root/reference/build.gradle:42):
+answer BM25 top-k WITHOUT scoring every matching document, by skipping
+posting blocks whose best-possible score cannot enter the current top-k.
+
+Distributed shape:
+  1. candidate blocks = postings WHERE term IN query (parquet row-group
+     pruning via the term-sorted layout);
+  2. each block is replicated to every doc-id-range partition it overlaps
+     (blocks are contiguous doc ranges, so overlap replication is rare);
+     each partition scores only docs inside its own range, so every doc is
+     scored in EXACTLY one partition — exactness;
+  3. per partition, a windowed block-max scan: walk the doc-range windows
+     between block boundaries in doc order, skip every window whose summed
+     per-term upper bounds cannot beat the running k-th score θ, and
+     decode + numpy-score only the surviving windows;
+  4. global top-k = orderBy(score desc, doc_id).limit(k) over the union of
+     per-partition top-ks.
+
+Upper bounds are recomputed from CURRENT global stats at query time using
+the stored (max_tf, min_dl) impacts: BM25's per-term contribution rises in
+tf and falls in dl, so idf * max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl))
+bounds every posting in the block — merges / new segments never invalidate
+stored metadata (same reason Lucene stores impacts, not scores).
+
+Pruning uses a strict margin (ub_sum < θ - 1e-9) so k-th-rank score ties
+are never lost; ties then break by doc_id asc exactly like the exact path.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.codecs import decode_posting_block, varint_decode
+from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS, IndexConfig
+
+_EPS = 1e-9
+
+
+def _idf(n_docs: float, df: float) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _scan_partition(
+    pdf: pd.DataFrame,
+    idf_map: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    excluded: frozenset | None = None,
+) -> pd.DataFrame:
+    """Exact top-k of one doc-range partition via the windowed block-max scan."""
+    lo = int(pdf["range_lo"].iloc[0])
+    hi = int(pdf["range_hi"].iloc[0])
+
+    terms = pdf["term"].to_numpy()
+    mins = np.maximum(pdf["min_doc"].to_numpy(np.int64), lo)
+    maxs = np.minimum(pdf["max_doc"].to_numpy(np.int64), hi)
+    ubs = np.array(
+        [
+            idf_map[t] * (mt / (mt + k1 * (1.0 - b + b * md / avgdl)))
+            for t, mt, md in zip(terms, pdf["max_tf"], pdf["min_dl"])
+        ]
+    )
+
+    edges = np.unique(np.concatenate([mins, maxs + 1]))
+    heap: list[tuple[float, int]] = []  # (score, -doc_id): weakest first
+    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    n_blocks_scored = 0
+
+    for wi in range(len(edges) - 1):
+        w_lo, w_hi = int(edges[wi]), int(edges[wi + 1]) - 1
+        act = np.nonzero((mins <= w_hi) & (maxs >= w_lo))[0]
+        if act.size == 0:
+            continue
+        if len(heap) >= k and float(ubs[act].sum()) < heap[0][0] - _EPS:
+            continue  # no doc in this window can enter the top-k
+
+        ids_parts, sc_parts = [], []
+        for i in act:
+            if i not in decoded:
+                r = pdf.iloc[int(i)]
+                d, t = decode_posting_block(bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
+                dl = varint_decode(bytes(r["dl_bytes"])).astype(np.float64)
+                idf = idf_map[r["term"]]
+                contrib = idf * (t / (t + k1 * (1.0 - b + b * dl / avgdl)))
+                decoded[i] = (d, contrib)
+                n_blocks_scored += 1
+            d, contrib = decoded[i]
+            sel = (d >= w_lo) & (d <= w_hi)
+            if sel.any():
+                ids_parts.append(d[sel])
+                sc_parts.append(contrib[sel])
+        if not ids_parts:
+            continue
+        ids = np.concatenate(ids_parts)
+        scs = np.concatenate(sc_parts)
+        if excluded:
+            keep = ~np.isin(ids, list(excluded))
+            ids, scs = ids[keep], scs[keep]
+            if ids.size == 0:
+                continue
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(uids))
+        np.add.at(tot, inv, scs)
+        for doc, s in zip(uids, tot):
+            cand = (float(s), -int(doc))
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+
+    return pd.DataFrame(
+        {
+            "doc_id": [-d for _, d in heap],
+            "raw_score": [s for s, _ in heap],
+            "blocks_scored": [n_blocks_scored] * len(heap),
+        }
+    )
+
+
+def wand_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    df_by_term: dict[str, int],
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    num_ranges: int = 32,
+    doc_id_hwm: int | None = None,
+    excluded_doc_ids: frozenset | None = None,
+) -> DataFrame:
+    """Block-max top-k over POSTINGS_SCHEMA blocks.
+
+    `df_by_term`: per-term document frequencies for the query terms (from the
+    index's term_stats — a driver-side dict; query terms are few).
+    `excluded_doc_ids`: superseded docs to skip (Lucene live-docs analog;
+    see search_store_wand). Rank-identical to the exact path (tested) but
+    decodes only the blocks that can still enter the top-k.
+    """
+    q_terms = sorted(set(query_terms))
+    excluded = excluded_doc_ids or None
+    idf_map = {t: _idf(float(n_docs), float(df_by_term.get(t, 0))) for t in q_terms}
+    hwm = doc_id_hwm if doc_id_hwm is not None else n_docs
+    hwm = max(hwm, 1)
+
+    cand = postings.where(F.col("term").isin(q_terms))
+    # fixed-width doc-id ranges: partition(doc) = doc // width — pure integer
+    # boundaries, so block replication and in-partition clipping can never
+    # disagree about which partition owns a doc
+    width = max(1, -(-hwm // num_ranges))  # ceil div
+    rng_lo = F.floor(F.col("min_doc") / F.lit(width)).cast("long")
+    rng_hi = F.floor(F.col("max_doc") / F.lit(width)).cast("long")
+    with_rng = (
+        cand.withColumn("rng", F.explode(F.sequence(rng_lo, rng_hi)))
+        .withColumn("range_lo", F.col("rng") * F.lit(width))
+        .withColumn("range_hi", F.col("rng") * F.lit(width) + F.lit(width - 1))
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _scan_partition(
+            pdf, idf_map, k, cfg.k1, cfg.b, float(avgdl), excluded
+        )
+
+    local = with_rng.groupBy("rng").applyInPandas(
+        scan, schema="doc_id long, raw_score double, blocks_scored long"
+    )
+    return (
+        local.select(
+            "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_store_wand(
+    spark: SparkSession,
+    store,
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Block-max WAND top-k over a persisted index (engine.segments).
+
+    Superseded docs (multi-segment upserts awaiting merge) are excluded via
+    a driver-collected deleted-id set — they must not be SCORED (a deleted
+    doc in the heap would inflate θ and wrongly prune live docs). This
+    mirrors Lucene's live-docs bitset; deleted sets are tiny between merges
+    by construction (one micro-batch's worth of upserts). df/avgdl keep the
+    stored pre-merge semantics (same as search_store).
+    """
+    from engine.merge import live_doc_ids
+
+    stats = store.global_stats()
+    q_terms = sorted(set(query_terms))
+    df_map = {
+        r["term"]: r["df"]
+        for r in store.term_stats_df(spark).where(F.col("term").isin(q_terms)).collect()
+    }
+    excluded = None
+    if len(store.live_segments()) > 1:
+        docs = store.docs(spark)
+        deleted = docs.join(
+            live_doc_ids(docs).select("doc_id"), "doc_id", "left_anti"
+        )
+        excluded = frozenset(r["doc_id"] for r in deleted.select("doc_id").collect())
+    return wand_topk(
+        spark,
+        store.postings(spark),
+        stats["n_docs"],
+        stats["avgdl"],
+        df_map,
+        q_terms,
+        k=k,
+        cfg=cfg,
+        num_ranges=num_ranges,
+        doc_id_hwm=store.next_doc_id_base(),
+        excluded_doc_ids=excluded,
+    )

@@ -1,0 +1,81 @@
+"""Driver entry: micro-ingest loop building an inverted index.
+
+spark-submit --py-files <engine.zip> jobs/build_index.py \
+    --index-root /data/indexes --index web --docs 100000 \
+    [--corpus-parquet PATH] [--rows-per-partition 5000] \
+    [--start RESTART|EARLIEST|LATEST] [--merge-factor 8]
+
+Mirrors the reference process (KafkaESIndexerProcess.main -> ConsumerManager
+-> worker poll loop, /root/reference/src/main/java/org/elasticsearch/kafka/
+indexer/KafkaESIndexerProcess.java:12-19): the seek phase is the ledger
+read, workers are Spark executors, each loop iteration is one job. Runs the
+log-structured merge when the live-segment count reaches --merge-factor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-root", default="/tmp/engine_indexes")
+    ap.add_argument("--index", default="web")
+    ap.add_argument("--docs", type=int, default=10_000)
+    ap.add_argument("--corpus-parquet", default=None,
+                    help="existing corpus (url,warc_ts,html,text,lang,row_id); default: synthetic")
+    ap.add_argument("--source-partitions", type=int, default=8)
+    ap.add_argument("--rows-per-partition", type=int, default=5_000)
+    ap.add_argument("--start", default="RESTART",
+                    choices=["RESTART", "EARLIEST", "LATEST"])
+    ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--merge-factor", type=int, default=0,
+                    help="merge all live segments when count reaches this (0=never)")
+    args = ap.parse_args()
+
+    from engine.corpus import webpages
+    from engine.ingest import as_partitioned_source, run_ingest_loop
+    from engine.merge import maybe_merge
+    from engine.segments import IndexStore
+    from engine.session import get_spark
+
+    spark = get_spark(f"build-index-{args.index}")
+    if args.corpus_parquet:
+        corpus = spark.read.parquet(args.corpus_parquet)
+    else:
+        corpus = webpages(spark, args.docs)
+    source = as_partitioned_source(corpus, args.source_partitions)
+
+    store = IndexStore(args.index_root, args.index)
+    if not store.exists():
+        store.create()
+
+    results = run_ingest_loop(
+        spark, store, source,
+        rows_per_partition=args.rows_per_partition,
+        start_option=args.start,
+        max_batches=args.max_batches,
+    )
+    for r in results:
+        print(json.dumps(r.metrics))
+
+    if args.merge_factor:
+        merged = maybe_merge(spark, store, merge_factor=args.merge_factor)
+        if merged:
+            print(json.dumps({"merged_into": merged}))
+
+    print(json.dumps({
+        "index": args.index,
+        "live_segments": store.live_segments(),
+        "global_stats": store.global_stats(),
+        "committed_offsets": store.committed_offsets(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Driver entry: BM25 top-k queries against a built index.
+
+spark-submit --py-files <engine.zip> jobs/run_queries.py \
+    --index-root /data/indexes --index web \
+    --query "engine spark" [--k 10] [--executor exact|wand] [--repeat 3]
+
+Prints one JSON line per query with results + latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-root", default="/tmp/engine_indexes")
+    ap.add_argument("--index", default="web")
+    ap.add_argument("--query", action="append", required=True,
+                    help="space-separated terms; repeatable")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--executor", default="wand", choices=["exact", "wand"])
+    ap.add_argument("--conjunctive", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    from engine.query import search_store
+    from engine.segments import IndexStore
+    from engine.session import get_spark
+    from engine.wand import search_store_wand
+
+    spark = get_spark(f"query-{args.index}")
+    store = IndexStore(args.index_root, args.index)
+
+    for q in args.query:
+        terms = q.split()
+        lats = []
+        rows = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            if args.executor == "wand":
+                rows = search_store_wand(spark, store, terms, k=args.k).collect()
+            else:
+                rows = search_store(
+                    spark, store, terms, k=args.k, conjunctive=args.conjunctive
+                ).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "query": terms,
+            "k": args.k,
+            "executor": args.executor,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,7 +108,7 @@ def test_indexed_bm25_matches_oracle(spark, docs_mid, tf_dl, n_docs):
         got = [
             (r["doc_id"], r["score"])
             for r in bm25_topk_from_index(
-                blocks, dl, stats["n_docs"], stats["avgdl"], terms, k=k, conjunctive=conj
+                blocks, stats["n_docs"], stats["avgdl"], terms, k=k, conjunctive=conj
             ).collect()
         ]
         con = duckdb.connect()
@@ -125,7 +125,7 @@ def test_indexed_equals_direct(spark, docs_mid, tf_dl, n_docs):
     dl = doc_lengths(docs_mid)
     stats = corpus_stats(dl).collect()[0]
     a = bm25_topk_from_index(
-        blocks, dl, stats["n_docs"], stats["avgdl"], ["engine", "spark"], k=25
+        blocks, stats["n_docs"], stats["avgdl"], ["engine", "spark"], k=25
     ).collect()
     b = bm25_topk(spark, docs_mid, ["engine", "spark"], k=25).collect()
     assert a == b

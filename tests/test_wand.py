@@ -1,0 +1,63 @@
+"""Block-max WAND rank-identity vs the exact path (SURVEY.md §7.2-6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.corpus import webpages
+from engine.ingest import EARLIEST, as_partitioned_source, run_ingest_loop
+from engine.postings import build_posting_blocks, term_freq_with_doclen, term_stats
+from engine.query import bm25_topk_from_index, corpus_stats, doc_lengths, search_store
+from engine.segments import IndexStore
+from engine.wand import search_store_wand, wand_topk
+
+QUERIES = [
+    (["table"], 10),            # hot term, many candidates
+    (["spark", "vector"], 10),
+    (["spark", "table", "merge"], 25),
+    (["vector"], 1),
+    (["zzz_absent"], 10),
+    (["the", "a"], 100),
+]
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, docs_mid):
+    blocks = build_posting_blocks(
+        term_freq_with_doclen(docs_mid), docs_mid.count(), bucket_postings=64
+    ).cache()
+    stats = corpus_stats(doc_lengths(docs_mid)).collect()[0]
+    dfm = {r["term"]: r["df"] for r in term_stats(blocks).collect()}
+    return blocks, stats, dfm
+
+
+@pytest.mark.parametrize("terms,k", QUERIES)
+def test_wand_rank_identical_to_exact(spark, indexed, terms, k):
+    blocks, stats, dfm = indexed
+    exact = bm25_topk_from_index(
+        blocks, stats["n_docs"], stats["avgdl"], terms, k=k
+    ).collect()
+    for num_ranges in (1, 4, 32):
+        wand = wand_topk(
+            spark, blocks, stats["n_docs"], stats["avgdl"],
+            {t: dfm.get(t, 0) for t in terms}, terms, k=k, num_ranges=num_ranges,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in wand] == [
+            (r["doc_id"], r["score"]) for r in exact
+        ], (terms, num_ranges)
+
+
+def test_store_wand_with_superseded_docs(spark, tmp_path):
+    """Multi-segment store with an un-merged upsert: WAND must exclude the
+    superseded doc and match the exact multi-segment path."""
+    src = as_partitioned_source(webpages(spark, 200, partitions=4), 4)
+    store = IndexStore(str(tmp_path), "w").create()
+    run_ingest_loop(spark, store, src, rows_per_partition=25, start_option=EARLIEST)
+    assert len(store.live_segments()) > 1
+    for terms in (["engine", "spark"], ["crawl"], ["index", "rank", "page"]):
+        exact = search_store(spark, store, terms, k=15).collect()
+        wand = search_store_wand(spark, store, terms, k=15).collect()
+        assert [(r["doc_id"], r["score"]) for r in wand] == [
+            (r["doc_id"], r["score"]) for r in exact
+        ], terms
