@@ -98,6 +98,106 @@ def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND top-k (D7): rank-identical to the exact BM25 oracle but
+    decodes only blocks whose upper bound can still enter the top-k."""
+    from engine.postings import build_posting_blocks, term_freq_with_doclen
+    from engine.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    dl = doc_lengths(docs)
+    avgdl = corpus_stats(dl).collect()[0]["avgdl"]
+    tf = term_frequencies(docs)
+    df_map = {
+        r["term"]: r["df"]
+        for r in doc_frequencies(tf.where(F.col("term").isin(FLAGSHIP_TERMS)))
+        .collect()
+    }
+    blocks = build_posting_blocks(term_freq_with_doclen(docs), n_docs)
+    return wand_topk(
+        spark, blocks, n_docs, avgdl, df_map, FLAGSHIP_TERMS, k=20,
+        doc_id_hwm=n_docs,
+    )
+
+
+def _q_bm25_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the persisted index: micro-ingest loop (3+ batches,
+    offset-windowed, commit-after-success) -> log-structured merge into one
+    segment -> block-max WAND search. Rank-identical to the raw-corpus BM25
+    oracle because extracted text == text byte-identically and the merged
+    stats cover the whole corpus (SURVEY.md §7.2 steps 4-6)."""
+    import math
+    import shutil
+    import tempfile
+
+    from engine.ingest import as_partitioned_source, run_ingest_loop
+    from engine.merge import merge_segments
+    from engine.segments import IndexStore
+    from engine.wand import search_store_wand
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    # zero-padded url: lexicographic order == numeric doc_id order, so the
+    # store's (url)-ranked doc ids coincide with the table's doc_id and the
+    # top-k tie-break matches the oracle exactly
+    pages = docs.select(
+        F.col("doc_id").alias("row_id"),
+        F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    src = as_partitioned_source(pages, num_partitions=4, id_col="row_id")
+    root = tempfile.mkdtemp(prefix="sparkgraft_store_")
+    try:
+        store = IndexStore(root, "docs_idx").create()
+        rpp = max(1, math.ceil(n / (4 * 3)))  # ~3 ingest batches
+        run_ingest_loop(spark, store, src, rows_per_partition=rpp)
+        merge_segments(spark, store)
+        hits = search_store_wand(spark, store, FLAGSHIP_TERMS, k=20)
+        # map the store's doc ids back to the source table's via the doc
+        # table's url (parse the zero-padded suffix)
+        doc_map = store.docs(spark).select(
+            F.col("doc_id").alias("store_doc_id"),
+            F.substring("url", 7, 12).cast("long").alias("orig_doc_id"),
+        )
+        out = (
+            hits.withColumnRenamed("doc_id", "store_doc_id")
+            .join(F.broadcast(doc_map), "store_doc_id")
+            .select(F.col("orig_doc_id").alias("doc_id"), "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        # materialize before the temp index is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-by-id last-write-wins (D10: prepareIndex with an existing id
+    replaces the doc, ElasticSearchClientService.java:140-142) expressed over
+    the events table: latest event per user_id, ties by event_id desc."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "event_type",
+            "value",
+        )
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -214,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
+        "bm25_topk_wand": _q_bm25_topk_wand,
+        "bm25_topk_store": _q_bm25_topk_store,
+        "upsert_last_wins": _q_upsert_last_wins,
         "postings_roundtrip": _q_postings_roundtrip,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "quality_features": _q_quality_features,
@@ -263,6 +366,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, tf.doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
         """,
         "bm25_topk_indexed": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        "bm25_topk_wand": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        "bm25_topk_store": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        "upsert_last_wins": """
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   event_type,
+                   value
+            FROM (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ) AS rk
+              FROM events
+            )
+            WHERE rk = 1
+        """,
         "quality_features": _ts().quality_features_oracle_sql(),
         "token_count_bpe": _ts().token_count_bpe_oracle_sql(),
         "lang_id": _ts().lang_id_oracle_sql(),

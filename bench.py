@@ -32,10 +32,11 @@ def main() -> None:
     # for correctness checking at sf0.01, not for timing at sf0.1
     headline = [
         "term_frequencies", "doc_lengths", "doc_frequencies", "corpus_stats",
-        "bm25_topk", "bm25_topk_conjunctive", "postings_roundtrip",
-        "bm25_topk_indexed", "quality_features", "token_count_bpe", "lang_id",
+        "bm25_topk", "bm25_topk_conjunctive", "bm25_topk_wand",
+        "bm25_topk_store", "postings_roundtrip", "bm25_topk_indexed",
+        "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
-        "filtered_alias_view", "offset_ledger",
+        "filtered_alias_view", "offset_ledger", "upsert_last_wins",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
     timings: dict[str, float] = {}
