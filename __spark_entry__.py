@@ -69,23 +69,23 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build compressed posting blocks, decode back to (term, doc_id, tf).
+    """Build compressed posting blocks (production shuffle-free builder),
+    decode back to (term, doc_id, tf, dl).
 
     The oracle is plain SQL term frequencies, so the driver's value-hash
-    directly checks the delta+varint block codec end-to-end."""
-    from engine.postings import build_posting_blocks, decode_postings, term_freq_with_doclen
+    directly checks the per-partition tokenize+count+encode path AND the
+    delta+varint block codec end-to-end."""
+    from engine.postings import build_posting_blocks_local, decode_postings
 
-    docs = _docs(spark, sf_dir)
-    blocks = build_posting_blocks(term_freq_with_doclen(docs), docs.count())
-    return decode_postings(blocks)
+    return decode_postings(build_posting_blocks_local(_docs(spark, sf_dir)))
 
 
 def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k answered from the compressed index, not the raw corpus."""
-    from engine.postings import build_posting_blocks, term_freq_with_doclen
+    from engine.postings import build_posting_blocks_local
 
     docs = _docs(spark, sf_dir)
-    blocks = build_posting_blocks(term_freq_with_doclen(docs), docs.count())
+    blocks = build_posting_blocks_local(docs)
     stats = corpus_stats(doc_lengths(docs)).collect()[0]
     return bm25_topk_from_index(
         blocks, stats["n_docs"], stats["avgdl"], FLAGSHIP_TERMS, k=20
@@ -101,7 +101,7 @@ def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k (D7): rank-identical to the exact BM25 oracle but
     decodes only blocks whose upper bound can still enter the top-k."""
-    from engine.postings import build_posting_blocks, term_freq_with_doclen
+    from engine.postings import build_posting_blocks_local
     from engine.wand import wand_topk
 
     docs = _docs(spark, sf_dir)
@@ -114,7 +114,7 @@ def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in doc_frequencies(tf.where(F.col("term").isin(FLAGSHIP_TERMS)))
         .collect()
     }
-    blocks = build_posting_blocks(term_freq_with_doclen(docs), n_docs)
+    blocks = build_posting_blocks_local(docs)
     return wand_topk(
         spark, blocks, n_docs, avgdl, df_map, FLAGSHIP_TERMS, k=20,
         doc_id_hwm=n_docs,

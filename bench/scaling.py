@@ -54,21 +54,28 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
+SOURCE_PARTITIONS = 64  # fixed across parallelism levels: SAME job, same batching
+
+
 def child(cores: int, n_docs: int) -> None:
     """One parallelism level: full index build + query latency. Prints JSON."""
     import shutil
 
     from pyspark.sql import functions as F
 
+    from engine.config import IndexConfig
     from engine.ingest import EARLIEST, as_partitioned_source, run_ingest_loop
     from engine.query import search_store
     from engine.segments import IndexStore
     from engine.session import get_spark
     from engine.wand import search_store_wand
 
-    spark = get_spark(f"bench-c{cores}", cores=cores, shuffle_partitions=cores)
+    # the box has 128 GiB; in local mode the driver JVM hosts every executor
+    # thread, so size the heap for the thread count, not for "a driver"
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(f"bench-c{cores}", cores=cores, shuffle_partitions=cores * 2)
     corpus = spark.read.parquet(ensure_corpus(n_docs))
-    source = as_partitioned_source(corpus, num_partitions=cores * 2)
+    source = as_partitioned_source(corpus, num_partitions=SOURCE_PARTITIONS)
 
     root = f"/tmp/engine_bench/idx_c{cores}"
     shutil.rmtree(root, ignore_errors=True)
@@ -77,13 +84,15 @@ def child(cores: int, n_docs: int) -> None:
     t0 = time.perf_counter()
     results = run_ingest_loop(
         spark, store, source,
-        rows_per_partition=max(1, n_docs // (cores * 2) // 2),  # ~2 batches
+        rows_per_partition=max(1, -(--(-n_docs // SOURCE_PARTITIONS) // 2)),  # 2 batches (double ceil: no leftover micro-batch)
         start_option=EARLIEST,
+        cfg=IndexConfig(docid_strategy="range"),  # parallel ids (same as window)
     )
     build_sec = time.perf_counter() - t0
     total_docs = sum(r.n_docs for r in results)
 
-    # query latency at this level
+    # query latency at this level (one warm-up query outside the timing loop)
+    search_store(spark, store, ["warmup"], k=1).collect()
     lat_exact, lat_wand = [], []
     for terms, k in QUERY_SET:
         t = time.perf_counter()

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from engine.config import TOKEN_PATTERN
 
@@ -98,25 +98,40 @@ def _extract_one(html: bytes | None) -> tuple[str | None, str | None]:
 
 
 _EXTRACT_SCHEMA = StructType(
-    [StructField("text", StringType()), StructField("error", StringType())]
+    [
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+        StructField("n_tokens", IntegerType()),
+    ]
 )
 
 
 @pandas_udf(_EXTRACT_SCHEMA)
 def extract_text(html: pd.Series) -> pd.DataFrame:
-    """Vectorized html->text extraction with per-record error isolation."""
-    out = [_extract_one(h) for h in html]
-    return pd.DataFrame(out, columns=["text", "error"])
+    """Vectorized html->text extraction with per-record error isolation.
+
+    Also emits n_tokens (BM25 |d|) from the same Python pass — the doc-length
+    pass is free here instead of a second full-corpus regex scan
+    (py_tokenize == the JVM `tokens` column, tested in test_analysis)."""
+    out = []
+    for h in html:
+        text, err = _extract_one(h)
+        out.append((text, err, len(py_tokenize(text)) if err is None else None))
+    return pd.DataFrame(out, columns=["text", "error", "n_tokens"])
 
 
 def with_extracted_text(df, html_col: str = "html"):
-    """Adds `text`/`error` columns from `html_col`.
+    """Adds `extracted_text`/`extract_error`/`n_tokens` columns from `html_col`.
 
     Caller splits: `where(error IS NULL)` -> pipeline,
     `where(error IS NOT NULL)` -> quarantine (reference S13 semantics,
     FailedEventsLogger.java:18-21).
     """
     ext = extract_text(F.col(html_col))
-    return df.withColumn("_ext", ext).withColumn(
-        "extracted_text", F.col("_ext.text")
-    ).withColumn("extract_error", F.col("_ext.error")).drop("_ext")
+    return (
+        df.withColumn("_ext", ext)
+        .withColumn("extracted_text", F.col("_ext.text"))
+        .withColumn("extract_error", F.col("_ext.error"))
+        .withColumn("n_tokens", F.col("_ext.n_tokens"))
+        .drop("_ext")
+    )

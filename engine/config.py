@@ -59,6 +59,12 @@ class IndexConfig:
     # Top-k defaults
     default_k: int = 10
 
+    # Doc-id assignment strategy (engine.docids): "window" = global
+    # row_number (one serial numbering task, fine per bounded micro-batch);
+    # "range" = repartitionByRange + driver prefix sums (fully parallel,
+    # provably identical ids — the 1000-executor path).
+    docid_strategy: str = "window"
+
     # Shuffle parallelism hint for index-build jobs (None = session default)
     shuffle_partitions: int | None = None
 

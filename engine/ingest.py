@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from engine.analysis import with_extracted_text
 from engine.config import DEFAULT_CONFIG, IndexConfig
 from engine.docids import assign_doc_ids, dedup_last_write_wins
-from engine.postings import build_posting_blocks, term_freq_with_doclen
+from engine.postings import build_posting_blocks_local
 from engine.segments import IndexStore, LedgerEntry
 
 EARLIEST = "EARLIEST"
@@ -95,7 +95,6 @@ def ingest_batch(
     """Ingest one offset window above `hwm`. Returns None when the window is
     empty (S6 empty-batch no-op). `fail_before_commit` simulates a crash
     between segment write and ledger commit (recovery tests, SURVEY.md §5.2-3)."""
-    t0 = time.monotonic()
     if store.has_batch(batch_id):
         raise RuntimeError(f"batch {batch_id} already committed")  # E4 guard
 
@@ -114,10 +113,37 @@ def ingest_batch(
         )
         .drop("committed")
     )
+    return process_window(
+        spark, store, window, batch_id, cfg=cfg, fail_before_commit=fail_before_commit
+    )
+
+
+def process_window(
+    spark: SparkSession,
+    store: IndexStore,
+    window: DataFrame,
+    batch_id: int,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    fail_before_commit: bool = False,
+    extra_metrics: dict | None = None,
+) -> BatchResult | None:
+    """Build + commit one segment from an already-sliced page window.
+
+    Shared by the batch loop (ingest_batch) and the Structured Streaming
+    twin (engine.streaming.stream_ingest's foreachBatch body): the window is
+    whatever the slicer handed us — an offset window or a stream micro-batch."""
+    t0 = time.monotonic()
     ext = with_extracted_text(window).cache()
-    # one action doubles as the empty-batch check (S6) and the offset scan
+    # ONE action serves as the empty-batch check (S6), the offset scan (S3)
+    # and the failure count (S13) — per-batch fixed job count matters when
+    # the loop runs thousands of micro-batches
     offs_rows = (
-        ext.groupBy("part_id").agg(F.max("row_offset").alias("m")).collect()
+        ext.groupBy("part_id")
+        .agg(
+            F.max("row_offset").alias("m"),
+            F.sum(F.col("extract_error").isNotNull().cast("long")).alias("nf"),
+        )
+        .collect()
     )
     if not offs_rows:
         ext.unpersist()
@@ -125,7 +151,7 @@ def ingest_batch(
     offs = {str(r["part_id"]): r["m"] for r in offs_rows}
     try:
         failed = ext.where(F.col("extract_error").isNotNull())
-        n_failed = failed.count()
+        n_failed = int(sum(r["nf"] or 0 for r in offs_rows))
         segment_id = f"seg-{batch_id:08d}"
         if n_failed:
             # quarantine side-output (S13): offset + error + payload
@@ -140,15 +166,15 @@ def ingest_batch(
         good = dedup_last_write_wins(good, "url", "warc_ts")
 
         base = store.next_doc_id_base()
-        docs_ided = assign_doc_ids(good, ["url", "warc_ts"], base=base).cache()
+        docs_ided = assign_doc_ids(
+            good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy
+        ).cache()
 
-        tf_dl = term_freq_with_doclen(docs_ided, text_col="extracted_text")
-        # doc_len from the SAME tokenizer as postings
-        from engine.analysis import tokens
-
+        # doc_len came out of the extract UDF's single Python pass
+        # (n_tokens; py_tokenize == JVM tokens, tested) — no second scan
         doc_table = docs_ided.select(
             "doc_id", "url",
-            F.size(tokens("extracted_text")).cast("long").alias("doc_len"),
+            F.col("n_tokens").cast("long").alias("doc_len"),
             "warc_ts", "lang", "part_id", "row_offset",
         )
 
@@ -157,7 +183,11 @@ def ingest_batch(
         ).collect()[0]
         n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
 
-        blocks = build_posting_blocks(tf_dl, max(base + n_docs, 1), cfg)
+        # shuffle-free build: tokenize+tf+encode per doc-range partition;
+        # only compressed blocks reach the segment-write shuffle
+        blocks = build_posting_blocks_local(
+            docs_ided, cfg, text_col="extracted_text"
+        )
         written = store.write_segment(
             segment_id,
             blocks,
@@ -186,6 +216,7 @@ def ingest_batch(
             "build_sec": round(build_s, 3),
             "docs_per_sec": round(n_docs / build_s, 1) if build_s > 0 else None,
             "skew_max_over_median_df": (q["mx"] / q["md"]) if q["md"] else None,
+            **(extra_metrics or {}),
         }
 
         if fail_before_commit:  # crash window simulation (E1)

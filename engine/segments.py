@@ -158,10 +158,13 @@ class IndexStore:
         """
         sp = self.segment_path(segment_id)
         spark = postings.sparkSession
-        # postings globally sorted by term -> parquet row-group min/max stats
-        # make `WHERE term IN (...)` skip row groups at query time
+        # postings globally sorted by (term, min_doc) -> parquet row-group
+        # min/max stats make `WHERE term IN (...)` skip row groups at query
+        # time. Ranging on (term, min_doc) — not term alone — splits a hot
+        # term's many blocks across partitions instead of melting one
+        # reducer (the write-side analog of doc-range bucketing).
         (
-            postings.repartitionByRange(F.col("term"))
+            postings.repartitionByRange(F.col("term"), F.col("min_doc"))
             .sortWithinPartitions("term", "min_doc")
             .write.mode("overwrite")
             .parquet(os.path.join(sp, "postings"))

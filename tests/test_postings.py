@@ -58,6 +58,32 @@ def test_blocks_roundtrip(tf_dl, n_docs):
     assert _long_form(decode_postings(blocks)) == _long_form(tf_dl)
 
 
+def test_local_builder_equals_relational(docs_mid, tf_dl):
+    """The shuffle-free production builder (tokenize+tf+encode per doc-range
+    partition, py_tokenize) decodes to exactly the relational tf/dl relation
+    (JVM tokenizer) — the frozen-token-stream invariant across both paths,
+    at multiple partition counts."""
+    from engine.postings import build_posting_blocks_local
+
+    want = _long_form(tf_dl)
+    want_dl = sorted(
+        (r["term"], r["doc_id"], r["tf"], r["dl"])
+        for r in tf_dl.collect()
+    )
+    for parts in (1, 3, 16):
+        blocks = build_posting_blocks_local(docs_mid, num_partitions=parts)
+        dec = decode_postings(blocks)
+        assert _long_form(dec) == want, parts
+        got_dl = sorted(
+            (r["term"], r["doc_id"], r["tf"], r["dl"]) for r in dec.collect()
+        )
+        assert got_dl == want_dl, parts
+
+    # tiny flush threshold: flush boundaries must not change content
+    blocks = build_posting_blocks_local(docs_mid, num_partitions=4, flush_docs=7)
+    assert _long_form(decode_postings(blocks)) == want
+
+
 def test_blocks_metadata(tf_dl, n_docs, spark):
     blocks = build_posting_blocks(tf_dl, n_docs).cache()
     bad = blocks.where(
