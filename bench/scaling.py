@@ -84,22 +84,27 @@ def child(cores: int, n_docs: int) -> None:
     t0 = time.perf_counter()
     results = run_ingest_loop(
         spark, store, source,
-        rows_per_partition=max(1, -(--(-n_docs // SOURCE_PARTITIONS) // 2)),  # 2 batches (double ceil: no leftover micro-batch)
+        # 2 batches, double ceil so no tiny leftover third micro-batch
+        rows_per_partition=max(1, -(-(-(-n_docs // SOURCE_PARTITIONS)) // 2)),
         start_option=EARLIEST,
         cfg=IndexConfig(docid_strategy="range"),  # parallel ids (same as window)
     )
     build_sec = time.perf_counter() - t0
     total_docs = sum(r.n_docs for r in results)
 
-    # query latency at this level (one warm-up query outside the timing loop)
-    search_store(spark, store, ["warmup"], k=1).collect()
+    # query latency at this level: a held-open IndexReader (the Lucene
+    # searcher split — index cached once, queries only filter+decode+score)
+    from engine.query import IndexReader
+
+    reader = IndexReader(spark, store)
+    reader.search(["warmup"], k=1).collect()  # warm-up outside the timing loop
     lat_exact, lat_wand = [], []
     for terms, k in QUERY_SET:
         t = time.perf_counter()
-        search_store(spark, store, terms, k=k).collect()
+        reader.search(terms, k=k).collect()
         lat_exact.append(time.perf_counter() - t)
         t = time.perf_counter()
-        search_store_wand(spark, store, terms, k=k).collect()
+        reader.search_wand(terms, k=k).collect()
         lat_wand.append(time.perf_counter() - t)
 
     def pct(xs, p):

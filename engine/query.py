@@ -221,6 +221,91 @@ def search_store(
     )
 
 
+class IndexReader:
+    """Query-server view of a persisted index: the index is opened ONCE
+    (postings/docs cached, stats + per-term df and the deleted-doc set
+    resolved up front) and then serves many queries without re-reading
+    parquet footers or re-deriving live-docs per query.
+
+    This is the searcher/reader split Lucene makes (ES holds an
+    IndexSearcher open across requests); per-query work reduces to
+    filter + decode + score on cached data. Re-open after a merge/ingest
+    commit to see new segments (call `refresh()`)."""
+
+    def __init__(self, spark: SparkSession, store, cfg: IndexConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg
+        self._open()
+
+    def _open(self) -> None:
+        from engine.merge import live_doc_ids
+
+        self.stats = self.store.global_stats()
+        self.postings = self.store.postings(self.spark).cache()
+        self.df_by_term = {
+            r["term"]: r["df"] for r in self.store.term_stats_df(self.spark).collect()
+        }
+        self.doc_id_hwm = self.store.next_doc_id_base()
+        self.deleted: frozenset = frozenset()
+        if len(self.store.live_segments()) > 1:
+            docs = self.store.docs(self.spark)
+            deleted = docs.join(
+                live_doc_ids(docs).select("doc_id"), "doc_id", "left_anti"
+            )
+            self.deleted = frozenset(
+                r["doc_id"] for r in deleted.select("doc_id").collect()
+            )
+        self.postings.count()  # materialize the cache
+
+    def refresh(self) -> None:
+        self.postings.unpersist()
+        self._open()
+
+    def close(self) -> None:
+        self.postings.unpersist()
+
+    def search(
+        self, query_terms: list[str], k: int = 10, conjunctive: bool = False
+    ) -> DataFrame:
+        """Exact BM25 top-k from the cached index."""
+        return bm25_topk_from_index(
+            self.postings,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            query_terms,
+            k=k,
+            cfg=self.cfg,
+            conjunctive=conjunctive,
+            live_docs=self._live_docs_df(),
+        )
+
+    def _live_docs_df(self):
+        if not self.deleted:
+            return None
+        docs = self.store.docs(self.spark)
+        from engine.merge import live_doc_ids
+
+        return live_doc_ids(docs)
+
+    def search_wand(self, query_terms: list[str], k: int = 10) -> DataFrame:
+        """Block-max WAND top-k from the cached index."""
+        from engine.wand import wand_topk
+
+        return wand_topk(
+            self.spark,
+            self.postings,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            self.df_by_term,
+            query_terms,
+            k=k,
+            cfg=self.cfg,
+            doc_id_hwm=self.doc_id_hwm,
+            excluded_doc_ids=self.deleted or None,
+        )
+
+
 # ---------------------------------------------------------------------------
 # ANSI-SQL oracle generator (DuckDB) — same math, same rounding, same ties.
 # ---------------------------------------------------------------------------

@@ -81,6 +81,25 @@ def test_search_matches_golden_oracle(spark, source, store):
     want = bm25_topk_pandas(docs_pdf, TERMS, k=15)
     assert got == want
 
+    # the held-open IndexReader (query-server path) is rank-identical to the
+    # per-query store readers on both the exact and the WAND executor
+    from engine.query import IndexReader
+    from engine.wand import search_store_wand
+
+    reader = IndexReader(spark, store)
+    try:
+        got_r = [(r["doc_id"], r["score"]) for r in reader.search(TERMS, k=15).collect()]
+        assert got_r == want
+        got_w = [(r["doc_id"], r["score"]) for r in reader.search_wand(TERMS, k=15).collect()]
+        assert got_w == want
+        got_sw = [
+            (r["doc_id"], r["score"])
+            for r in search_store_wand(spark, store, TERMS, k=15).collect()
+        ]
+        assert got_sw == want
+    finally:
+        reader.close()
+
 
 def test_kill_between_segment_and_ledger_then_resume(spark, source, store):
     # batch 0 crashes after segment write, before ledger commit (E1 window)
