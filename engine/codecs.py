@@ -36,6 +36,29 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array -> (bytes, per-element byte lengths).
+
+    The lengths array lets a caller slice the single encoded buffer into
+    arbitrary contiguous sub-ranges (e.g. per posting block) without
+    re-encoding — the whole-flush single-pass encode path."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for b in range(10):
+        mask = nbytes > b
+        if not mask.any():
+            break
+        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
+        out[starts[mask] + b] = byte | cont
+    return out.tobytes(), nbytes
+
+
 def varint_decode(data: bytes) -> np.ndarray:
     """Decode LEB128 bytes -> uint64 array."""
     if not data:

@@ -46,9 +46,14 @@ def assign_doc_ids(
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *[F.col(c).asc() for c in order_cols])
-    # persist: the counts job and the numbering job must see the SAME range
-    # boundaries (repartitionByRange samples; a recompute could re-draw them)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    # eager localCheckpoint: the counts job and the numbering job must see
+    # the SAME range boundaries (repartitionByRange samples; a recompute
+    # could re-draw them). Unlike persist(), the checkpoint blocks are
+    # released by the ContextCleaner when the DF goes out of scope — the
+    # ingest loop calls this every batch and must not accumulate storage.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     # per-partition counts -> driver-side prefix sums (n rows, tiny)
     counts = {
         r["_pid"]: r["cnt"]

@@ -133,6 +133,14 @@ def process_window(
     twin (engine.streaming.stream_ingest's foreachBatch body): the window is
     whatever the slicer handed us — an offset window or a stream micro-batch."""
     t0 = time.monotonic()
+    stage_t: dict[str, float] = {}
+
+    def mark(name: str, since: list) -> None:
+        now = time.monotonic()
+        stage_t[name] = round(now - since[0], 2)
+        since[0] = now
+
+    _t = [t0]
     ext = with_extracted_text(window).cache()
     # ONE action serves as the empty-batch check (S6), the offset scan (S3)
     # and the failure count (S13) — per-batch fixed job count matters when
@@ -145,10 +153,12 @@ def process_window(
         )
         .collect()
     )
+    mark("extract_sec", _t)
     if not offs_rows:
         ext.unpersist()
         return None
     offs = {str(r["part_id"]): r["m"] for r in offs_rows}
+    docs_ided = None
     try:
         failed = ext.where(F.col("extract_error").isNotNull())
         n_failed = int(sum(r["nf"] or 0 for r in offs_rows))
@@ -182,6 +192,7 @@ def process_window(
             F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
         ).collect()[0]
         n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
+        mark("ids_sec", _t)
 
         # shuffle-free build: tokenize+tf+encode per doc-range partition;
         # only compressed blocks reach the segment-write shuffle
@@ -201,13 +212,19 @@ def process_window(
                 "batch_id": batch_id,
             },
         )
-        # metrics from the parquet read-back (no recompute of the build plan):
+        mark("build_write_sec", _t)
+        # metrics from the segment's term_stats parquet (tiny — one row per
+        # term), not from re-aggregating the block rows:
         # skew = largest / median per-term posting-list length
         q = (
-            written.groupBy("term").agg(F.sum("n").alias("g"))
-            .agg(F.max("g").alias("mx"), F.expr("percentile_approx(g, 0.5)").alias("md"))
+            spark.read.parquet(os.path.join(store.segment_path(segment_id), "term_stats"))
+            .agg(
+                F.max("df").alias("mx"),
+                F.expr("percentile_approx(df, 0.5)").alias("md"),
+            )
             .collect()[0]
         )
+        mark("metrics_sec", _t)
         build_s = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
@@ -216,6 +233,7 @@ def process_window(
             "build_sec": round(build_s, 3),
             "docs_per_sec": round(n_docs / build_s, 1) if build_s > 0 else None,
             "skew_max_over_median_df": (q["mx"] / q["md"]) if q["md"] else None,
+            **stage_t,
             **(extra_metrics or {}),
         }
 
@@ -234,6 +252,8 @@ def process_window(
         return BatchResult(batch_id, segment_id, n_docs, n_failed, True, metrics)
     finally:
         ext.unpersist()
+        if docs_ided is not None:
+            docs_ided.unpersist()
 
 
 def run_ingest_loop(

@@ -186,42 +186,103 @@ def build_posting_blocks_local(
     ]
 
     def flush(doc_ids: list, texts: list) -> pd.DataFrame:
-        terms_l, docs_l, tfs_l, dls_l = [], [], [], []
-        for did, text in zip(doc_ids, texts):
-            toks = py_tokenize(text)
-            if not toks:
-                continue
-            terms, tfs = np.unique(toks, return_counts=True)
-            terms_l.append(terms)
-            docs_l.append(np.full(len(terms), did, dtype=np.int64))
-            tfs_l.append(tfs.astype(np.int64))
-            dls_l.append(np.full(len(terms), len(toks), dtype=np.int64))
-        if not terms_l:
+        """Fully vectorized: ONE factorize over the flush's tokens, two
+        integer argsorts, reduceat block metadata, and a single varint pass
+        per stream sliced into blocks by byte offsets. No object-dtype
+        groupby and no per-block encode calls — the per-worker hot loop is
+        int64 numpy throughout (the 8->32-core scaling hinges on this: the
+        object-hashing variant was memory-bandwidth-bound)."""
+        from engine.codecs import varint_encode_with_lengths
+
+        tok_lists = [py_tokenize(t) for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        keep = lens > 0
+        if not keep.any():
             return pd.DataFrame(columns=cols)
-        pdf = pd.DataFrame(
+        ids_arr = np.asarray(doc_ids, dtype=np.int64)[keep]
+        lens_k = lens[keep]
+        flat: list[str] = []
+        for t, k in zip(tok_lists, keep):
+            if k:
+                flat.extend(t)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        uniq = np.asarray(uniq, dtype=object)
+        v_size = np.int64(len(uniq))
+        doc_idx = np.repeat(np.arange(len(ids_arr), dtype=np.int64), lens_k)
+
+        # (doc, term) tf via one int64 sort + run-length encode
+        key = doc_idx * v_size + codes
+        ks = np.sort(key, kind="stable")
+        change = np.empty(len(ks), dtype=bool)
+        change[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, len(ks))).astype(np.int64)
+        kk = ks[starts]
+        d_idx = kk // v_size
+        code = kk % v_size
+        doc = ids_arr[d_idx]
+        dl = lens_k[d_idx]
+
+        # postings order: (term, doc asc) — stable sort by code keeps the
+        # doc-major order within each term
+        o2 = np.argsort(code, kind="stable")
+        code = code[o2]
+        doc = doc[o2]
+        tf = tf[o2]
+        dl = dl[o2]
+
+        # block assignment: position within term, blocks of `block_size`
+        t_change = np.empty(len(code), dtype=bool)
+        t_change[0] = True
+        np.not_equal(code[1:], code[:-1], out=t_change[1:])
+        t_starts = np.flatnonzero(t_change)
+        t_counts = np.diff(np.append(t_starts, len(code)))
+        pos = np.arange(len(code), dtype=np.int64) - np.repeat(t_starts, t_counts)
+        is_bs = (pos % block_size) == 0
+        b_starts = np.flatnonzero(is_bs)
+        b_ends = np.append(b_starts[1:], len(code))
+
+        # per-block-restarted deltas (first element absolute)
+        deltas = np.empty_like(doc)
+        deltas[0] = doc[0]
+        np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+        deltas[b_starts] = doc[b_starts]
+
+        d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
+        t_buf, t_len = varint_encode_with_lengths(tf.astype(np.uint64))
+        l_buf, l_len = varint_encode_with_lengths(dl.astype(np.uint64))
+        d_off = np.concatenate(([0], np.cumsum(d_len)))
+        t_off = np.concatenate(([0], np.cumsum(t_len)))
+        l_off = np.concatenate(([0], np.cumsum(l_len)))
+
+        n_blk = (b_ends - b_starts).astype(np.int64)
+        min_doc = doc[b_starts]
+        max_doc = doc[b_ends - 1]
+        max_tf = np.maximum.reduceat(tf, b_starts)
+        min_dl = np.minimum.reduceat(dl, b_starts)
+        term_of_block = uniq[code[b_starts]]
+
+        return pd.DataFrame(
             {
-                "term": np.concatenate(terms_l),
-                "doc_id": np.concatenate(docs_l),
-                "tf": np.concatenate(tfs_l),
-                "dl": np.concatenate(dls_l),
+                "term": term_of_block,
+                "n": n_blk.astype(np.int32),
+                "min_doc": min_doc,
+                "max_doc": max_doc,
+                "doc_bytes": [
+                    d_buf[d_off[s]:d_off[e]] for s, e in zip(b_starts, b_ends)
+                ],
+                "tf_bytes": [
+                    t_buf[t_off[s]:t_off[e]] for s, e in zip(b_starts, b_ends)
+                ],
+                "dl_bytes": [
+                    l_buf[l_off[s]:l_off[e]] for s, e in zip(b_starts, b_ends)
+                ],
+                "max_tf": max_tf.astype(np.int32),
+                "min_dl": min_dl.astype(np.int32),
             }
         )
-        rows = []
-        # rows are appended in doc_id order, pandas groupby(sort=False)
-        # preserves in-group order -> per-term doc_ids are ascending
-        for term, g in pdf.groupby("term", sort=False):
-            d = g["doc_id"].to_numpy()
-            t = g["tf"].to_numpy()
-            l_ = g["dl"].to_numpy()
-            for s in range(0, len(d), block_size):
-                e = min(s + block_size, len(d))
-                db, tb = encode_posting_block(d[s:e], t[s:e])
-                lb = varint_encode(l_[s:e].astype(np.uint64))
-                rows.append(
-                    (term, e - s, int(d[s]), int(d[e - 1]), db, tb, lb,
-                     int(t[s:e].max()), int(l_[s:e].min()))
-                )
-        return pd.DataFrame(rows, columns=cols)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf_ids: list = []

@@ -158,13 +158,19 @@ class IndexStore:
         """
         sp = self.segment_path(segment_id)
         spark = postings.sparkSession
+        # materialize the (expensive) build exactly ONCE before the ranged
+        # write: repartitionByRange SAMPLES its input to pick boundaries,
+        # which would execute the whole upstream build a second time. The
+        # checkpoint holds only compressed blocks (~100x smaller than the
+        # token stream); sampling + shuffle then read from it.
+        blocks_mat = postings.localCheckpoint(eager=True)
         # postings globally sorted by (term, min_doc) -> parquet row-group
         # min/max stats make `WHERE term IN (...)` skip row groups at query
         # time. Ranging on (term, min_doc) — not term alone — splits a hot
         # term's many blocks across partitions instead of melting one
         # reducer (the write-side analog of doc-range bucketing).
         (
-            postings.repartitionByRange(F.col("term"), F.col("min_doc"))
+            blocks_mat.repartitionByRange(F.col("term"), F.col("min_doc"))
             .sortWithinPartitions("term", "min_doc")
             .write.mode("overwrite")
             .parquet(os.path.join(sp, "postings"))

@@ -31,13 +31,15 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
 
-    from engine.query import search_store
+    from engine.query import IndexReader
     from engine.segments import IndexStore
     from engine.session import get_spark
-    from engine.wand import search_store_wand
 
     spark = get_spark(f"query-{args.index}")
     store = IndexStore(args.index_root, args.index)
+    # query-server mode: open the index once (cached postings, resolved
+    # stats/live-docs), serve all queries from the held-open reader
+    reader = IndexReader(spark, store)
 
     for q in args.query:
         terms = q.split()
@@ -46,10 +48,10 @@ def main() -> None:
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             if args.executor == "wand":
-                rows = search_store_wand(spark, store, terms, k=args.k).collect()
+                rows = reader.search_wand(terms, k=args.k).collect()
             else:
-                rows = search_store(
-                    spark, store, terms, k=args.k, conjunctive=args.conjunctive
+                rows = reader.search(
+                    terms, k=args.k, conjunctive=args.conjunctive
                 ).collect()
             lats.append((time.perf_counter() - t0) * 1000)
         print(json.dumps({
