@@ -121,27 +121,15 @@ def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_bm25_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end through the persisted index: micro-ingest loop (3+ batches,
-    offset-windowed, commit-after-success) -> log-structured merge into one
-    segment -> block-max WAND search. Rank-identical to the raw-corpus BM25
-    oracle because extracted text == text byte-identically and the merged
-    stats cover the whole corpus (SURVEY.md §7.2 steps 4-6)."""
-    import math
-    import shutil
-    import tempfile
+_STORE_CACHE: dict = {}
 
-    from engine.ingest import as_partitioned_source, run_ingest_loop
-    from engine.merge import merge_segments
-    from engine.segments import IndexStore
-    from engine.wand import search_store_wand
 
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    # zero-padded url: lexicographic order == numeric doc_id order, so the
-    # store's (url)-ranked doc ids coincide with the table's doc_id and the
-    # top-k tie-break matches the oracle exactly
-    pages = docs.select(
+def _pages_from_documents(docs: DataFrame) -> DataFrame:
+    """documents table -> Common-Crawl-style page rows. Zero-padded url:
+    lexicographic order == numeric doc_id order, so the store's (url)-ranked
+    doc ids coincide with the table's doc_id and the top-k tie-break matches
+    the oracle exactly."""
+    return docs.select(
         F.col("doc_id").alias("row_id"),
         F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
         F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
@@ -149,31 +137,116 @@ def _q_bm25_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    src = as_partitioned_source(pages, num_partitions=4, id_col="row_id")
+
+
+def _shared_store(spark: SparkSession, sf_dir: str):
+    """ONE persisted index per sf_dir, built once per process and shared by
+    every store-backed driver entry (ingest loop -> merge; routing_col=lang
+    so the same store also certifies D9 partition pruning). Segments are
+    hive-partitioned by routing=lang; global (unrouted) queries read all
+    partitions — identical results to an unrouted store (tested)."""
+    if sf_dir in _STORE_CACHE:
+        return _STORE_CACHE[sf_dir]
+    import math
+    import tempfile
+
+    from engine.config import IndexConfig
+    from engine.ingest import as_partitioned_source, run_ingest_loop
+    from engine.merge import merge_segments
+    from engine.segments import IndexStore
+
+    cfg = IndexConfig(routing_col="lang")
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    src = as_partitioned_source(
+        _pages_from_documents(docs), num_partitions=4, id_col="row_id"
+    )
     root = tempfile.mkdtemp(prefix="sparkgraft_store_")
-    try:
-        store = IndexStore(root, "docs_idx").create()
-        rpp = max(1, math.ceil(n / (4 * 3)))  # ~3 ingest batches
-        run_ingest_loop(spark, store, src, rows_per_partition=rpp)
-        merge_segments(spark, store)
-        hits = search_store_wand(spark, store, FLAGSHIP_TERMS, k=20)
-        # map the store's doc ids back to the source table's via the doc
-        # table's url (parse the zero-padded suffix)
-        doc_map = store.docs(spark).select(
-            F.col("doc_id").alias("store_doc_id"),
-            F.substring("url", 7, 12).cast("long").alias("orig_doc_id"),
-        )
-        out = (
-            hits.withColumnRenamed("doc_id", "store_doc_id")
-            .join(F.broadcast(doc_map), "store_doc_id")
-            .select(F.col("orig_doc_id").alias("doc_id"), "score")
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        )
-        # materialize before the temp index is deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    store = IndexStore(root, "docs_idx", cfg=cfg).create()
+    rpp = max(1, math.ceil(n / (4 * 3)))  # ~3 ingest batches
+    run_ingest_loop(spark, store, src, rows_per_partition=rpp, cfg=cfg)
+    merge_segments(spark, store, cfg=cfg)
+    _STORE_CACHE[sf_dir] = store
+    return store
+
+
+def _store_doc_map(spark: SparkSession, store) -> DataFrame:
+    """store doc_id -> original documents.doc_id (parse the padded url)."""
+    return store.docs(spark).select(
+        F.col("doc_id").alias("store_doc_id"),
+        F.substring("url", 7, 12).cast("long").alias("orig_doc_id"),
+    )
+
+
+def _q_bm25_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the persisted index: micro-ingest loop (3+ batches,
+    offset-windowed, commit-after-success) -> log-structured merge into one
+    segment -> block-max WAND search. Rank-identical to the raw-corpus BM25
+    oracle because extracted text == text byte-identically and the merged
+    stats cover the whole corpus (SURVEY.md §7.2 steps 4-6)."""
+    from engine.wand import search_store_wand
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store_wand(spark, store, FLAGSHIP_TERMS, k=20)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def _q_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 routing-aware placement: search ONE routing partition (lang=en).
+    The postings/docs scans prune to routing=en files (PartitionFilters in
+    PLANS.md) and scoring uses that partition's own stats — ES shard-local
+    BM25 semantics for a routed query_then_fetch search
+    (ElasticSearchClientService.java:135-146)."""
+    from engine.query import search_store
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store(spark, store, FLAGSHIP_TERMS, k=20, routing="en")
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def _q_multi_index_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 multi-index fan-out: one ingest loop writes TWO indexes in one
+    pass (per-batch partitionBy(index_name) staging, per-index segment
+    commits, fanout ledger committed after all indexes succeed —
+    ElasticSearchBatchService.java:34,57-66). Returns per-index corpus
+    stats read back from the stores."""
+    import math
+    import tempfile
+
+    from engine.assign import RecordAssigner
+    from engine.fanout import discover_indexes, run_fanout_loop
+    from engine.ingest import as_partitioned_source
+    from engine.segments import IndexStore
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    src = as_partitioned_source(
+        _pages_from_documents(docs), num_partitions=4, id_col="row_id"
+    )
+    root = tempfile.mkdtemp(prefix="sparkgraft_fanout_")
+    assigner = RecordAssigner(
+        index_name=lambda df: F.when(F.col("lang") == "en", "idx_en").otherwise("idx_other")
+    )
+    run_fanout_loop(
+        spark, root, src,
+        rows_per_partition=max(1, math.ceil(n / (4 * 2))),  # ~2 batches
+        assigner=assigner,
+    )
+    rows = []
+    for name in discover_indexes(root):
+        st = IndexStore(root, name).global_stats()
+        rows.append((name, st["n_docs"], st["sum_dl"]))
+    return spark.createDataFrame(rows, "index_name string, n_docs long, sum_dl long")
 
 
 def _q_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,19 +347,38 @@ def _q_cosine_pairs(spark, sf_dir):
     return cosine_pairs(_emb(spark, sf_dir), threshold=0.5)
 
 
-def _q_ann_lsh_topk(spark, sf_dir):
-    from engine.similarity import ann_lsh_topk
+_ANN_CACHE: dict = {}
 
-    return ann_lsh_topk(_emb(spark, sf_dir), _ann_query_vec(), k=15, n_bits=12, n_probes=12)
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """ANN over a PERSISTED bucket-partitioned LSH index: built once per
+    process, each query probes pruned bucket groups (no full-table
+    signature recompute)."""
+    import tempfile
+
+    from engine.similarity import AnnIndex
+
+    if sf_dir not in _ANN_CACHE:
+        _ANN_CACHE[sf_dir] = AnnIndex.build(
+            _emb(spark, sf_dir), tempfile.mkdtemp(prefix="sparkgraft_ann_"),
+            dim=64, n_bits=12, n_groups=64,
+        )
+    return _ANN_CACHE[sf_dir].topk(spark, _ann_query_vec(), k=15, n_probes=12)
 
 
 def _q_filtered_alias(spark, sf_dir):
     """Filtered alias (S11) — the reference's only literal query operator:
     a view restricted by termQuery(field, value)
-    (ElasticSearchClientService.java:135-138). Catalyst pushes the equality
-    into the parquet scan."""
-    return _docs(spark, sf_dir).where(F.col("lang") == "en").select(
-        "doc_id", "lang", "n_chars"
+    (ElasticSearchClientService.java:135-138). Goes through the store's
+    REAL alias machinery (add_alias + docs_via_alias, S9-S11): the alias
+    filter is pushed into the segment docs scan."""
+    store = _shared_store(spark, sf_dir)
+    store.add_alias("en_docs", filter_col="lang", filter_val="en")
+    via = store.docs_via_alias(spark, "en_docs")
+    return via.select(
+        F.substring("url", 7, 12).cast("long").alias("doc_id"),
+        "lang",
+        "doc_len",
     )
 
 
@@ -332,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "filtered_alias_view": _q_filtered_alias,
         "offset_ledger": _q_offset_ledger,
+        "routed_search": _q_routed_search,
+        "multi_index_fanout": _q_multi_index_fanout,
     }
 
 
@@ -393,7 +487,17 @@ def oracle_sql() -> dict[str, str]:
         # strong checks (recall vs exact, determinism) live in tests/.
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
-        "filtered_alias_view": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+        "filtered_alias_view": f"SELECT doc_id, lang, {_DLEN} AS doc_len FROM documents WHERE lang = 'en'",
+        "routed_search": bm25_topk_oracle_sql(
+            FLAGSHIP_TERMS, k=20,
+            table="(SELECT * FROM documents WHERE lang = 'en') AS routed",
+        ),
+        "multi_index_fanout": f"""
+            SELECT CASE WHEN lang = 'en' THEN 'idx_en' ELSE 'idx_other' END AS index_name,
+                   count(*) AS n_docs,
+                   CAST(sum({_DLEN}) AS BIGINT) AS sum_dl
+            FROM documents GROUP BY 1
+        """,
         "offset_ledger": """
             SELECT CAST(event_id % 4 AS INT) AS part_id,
                    CAST(max(floor(event_id / 4)) AS BIGINT) AS committed_offset,

@@ -101,7 +101,6 @@ _EXTRACT_SCHEMA = StructType(
     [
         StructField("text", StringType()),
         StructField("error", StringType()),
-        StructField("n_tokens", IntegerType()),
     ]
 )
 
@@ -110,18 +109,20 @@ _EXTRACT_SCHEMA = StructType(
 def extract_text(html: pd.Series) -> pd.DataFrame:
     """Vectorized html->text extraction with per-record error isolation.
 
-    Also emits n_tokens (BM25 |d|) from the same Python pass — the doc-length
-    pass is free here instead of a second full-corpus regex scan
-    (py_tokenize == the JVM `tokens` column, tested in test_analysis)."""
+    Deliberately does ONLY the non-relational part (byte regex + strict
+    utf-8 decode with per-record errors — not expressible as a JVM column:
+    Spark's decode() substitutes U+FFFD instead of failing, which would
+    break the byte-identical-text invariant AND the quarantine semantics).
+    Token counting lives JVM-side (size(tokens(...)), codegen) so the
+    Python hot path stays minimal."""
     out = []
     for h in html:
-        text, err = _extract_one(h)
-        out.append((text, err, len(py_tokenize(text)) if err is None else None))
-    return pd.DataFrame(out, columns=["text", "error", "n_tokens"])
+        out.append(_extract_one(h))
+    return pd.DataFrame(out, columns=["text", "error"])
 
 
 def with_extracted_text(df, html_col: str = "html"):
-    """Adds `extracted_text`/`extract_error`/`n_tokens` columns from `html_col`.
+    """Adds `extracted_text`/`extract_error` columns from `html_col`.
 
     Caller splits: `where(error IS NULL)` -> pipeline,
     `where(error IS NOT NULL)` -> quarantine (reference S13 semantics,
@@ -132,6 +133,5 @@ def with_extracted_text(df, html_col: str = "html"):
         df.withColumn("_ext", ext)
         .withColumn("extracted_text", F.col("_ext.text"))
         .withColumn("extract_error", F.col("_ext.error"))
-        .withColumn("n_tokens", F.col("_ext.n_tokens"))
         .drop("_ext")
     )

@@ -1,0 +1,69 @@
+"""Per-record assignment hook (T2): index / id / routing, pluggable.
+
+The reference's whole plugin surface is IMessageHandler
+(/root/reference/src/main/java/org/elasticsearch/kafka/indexer/service/
+IMessageHandler.java:16-26): transform the message AND assign each event its
+(indexName, indexType, eventId, routing) before the bulk add
+(ElasticSearchBatchService.java:57-66 — addEventToBulkRequest takes all four
+per event; ElasticSearchClientService.java:135-146 applies the routing to
+the request). The shipped impl uses static config values
+(SimpleMessageHandlerImpl / BasicMessageHandler).
+
+Spark-first shape: an assigner is DECLARATIVE — Column expressions, not a
+per-record callback — so assignment stays inside whole-stage codegen and
+Catalyst can prune/push it. A custom assigner provides any expressions it
+likes (including pandas-UDF-backed ones if truly needed); the default mirrors
+the reference's static config (one index, no routing).
+
+The transform half of IMessageHandler lives in engine.analysis.extract_text;
+this module is the placement half:
+  - index_name  -> which index a record lands in (D11 multi-index fan-out:
+                   one bulk/batch may span several indexes,
+                   ElasticSearchBatchService.java:34 keeps a per-index
+                   request map)
+  - routing     -> which partition WITHIN the index (D9 routing-aware
+                   placement; segments are hive-partitioned by this value,
+                   queries with routing prune to those files)
+  - doc id      -> engine.docids (dense deterministic ids per index)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+INDEX_COL = "index_name"
+ROUTING_COL = "routing"
+
+
+@dataclass(frozen=True)
+class RecordAssigner:
+    """Declarative (index_name, routing) assignment.
+
+    `index_name` / `routing`: functions DataFrame -> Column evaluated over
+    the record window (so they can reference any record field, like the
+    reference's IMessageHandler sees the whole message). None routing =
+    single-partition semantics (the reference's default: routing unset).
+    """
+
+    index_name: Callable[[DataFrame], Column] = lambda df: F.lit("default")
+    routing: Callable[[DataFrame], Column] | None = None
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn(INDEX_COL, self.index_name(df).cast("string"))
+        if self.routing is not None:
+            out = out.withColumn(ROUTING_COL, self.routing(df).cast("string"))
+        return out
+
+
+def static_assigner(index_name: str, routing_col: str | None = None) -> RecordAssigner:
+    """The reference's shipped behavior: a configured index name
+    (kafka-es-indexer.properties elasticsearch.index.name) and, optionally,
+    routing by an existing column's value (ES field-value routing)."""
+    return RecordAssigner(
+        index_name=lambda df: F.lit(index_name),
+        routing=(lambda df: F.col(routing_col)) if routing_col else None,
+    )

@@ -18,22 +18,7 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array -> bytes."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # byte length of each value: 1 + #thresholds it reaches
-    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for b in range(10):
-        mask = nbytes > b
-        if not mask.any():
-            break
-        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
-        out[starts[mask] + b] = byte | cont
-    return out.tobytes()
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:

@@ -38,14 +38,6 @@ class IndexConfig:
     # Posting-list block encoding (Lucene-style block postings)
     block_size: int = 128
 
-    # Hot-term skew defusal: number of salt buckets for the two-stage
-    # groupBy(term) when building posting lists (SURVEY.md §4.2).
-    salt_buckets: int = 8
-
-    # Terms with df above this fraction of n_docs get salted; the rest go
-    # through the single-stage path (salting everything wastes a shuffle).
-    hot_term_df_ratio: float = 0.05
-
     # Micro-ingest batch sizing (reference: 1 MiB/partition poll bound,
     # jobs/ConsumerManager.java:52-55). We bound by rows.
     rows_per_batch: int = 100_000
@@ -59,11 +51,23 @@ class IndexConfig:
     # Top-k defaults
     default_k: int = 10
 
-    # Doc-id assignment strategy (engine.docids): "window" = global
-    # row_number (one serial numbering task, fine per bounded micro-batch);
-    # "range" = repartitionByRange + driver prefix sums (fully parallel,
-    # provably identical ids — the 1000-executor path).
-    docid_strategy: str = "window"
+    # Doc-id assignment strategy (engine.docids): "range" (default) =
+    # repartitionByRange + driver prefix sums — fully parallel, the
+    # 1000-executor path; "window" = global row_number (a single serial
+    # numbering task) kept as the equivalence-test oracle.
+    docid_strategy: str = "range"
+
+    # WAND keeps the superseded-doc set driver-side (tiny between merges by
+    # construction). Above this size the engine falls back to the fully
+    # distributed exact path instead of shipping a huge set to every task.
+    max_deleted_driver: int = 1_000_000
+
+    # Routing-aware placement (D9, reference ElasticSearchBatchService
+    # routing value + filtered-alias routing): name of a window column whose
+    # value routes each doc. When set, segments store docs AND postings
+    # hive-partitioned by this column, so routed queries prune to one
+    # routing partition's files (the ES shard-routing data-locality story).
+    routing_col: str | None = None
 
     # Shuffle parallelism hint for index-build jobs (None = session default)
     shuffle_partitions: int | None = None

@@ -286,20 +286,45 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return summed.select("doc_id", bit_expr.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) bit-bands for hamming-ball blocking: max_hamming + 1
+    bands split the 64 bits as evenly as possible. Pigeonhole: a pair at
+    hamming distance <= max_hamming differs in at most max_hamming bands,
+    so it MATCHES on at least one — recall 1.0 by construction for any
+    radius (the band count is derived from the radius, never fixed)."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offs = [0]
+    for w in widths[:-1]:
+        offs.append(offs[-1] + w)
+    return list(zip(offs, widths))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    id_col: str = "doc_id", fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, blocked on
-    4x16-bit bands (any pair within hamming<=3 shares at least one of 4
-    bands by pigeonhole)."""
-    sh = simhash64(df, text_col, id_col)
+    max_hamming+1 bit-bands (see simhash_bands — full recall at any radius;
+    wider radii mean narrower bands, hence larger candidate buckets: the
+    inherent LSH tradeoff, so keep the radius small at corpus scale).
+
+    `fingerprints` (doc_id, simhash) overrides the computed simhash64 —
+    the recall-property test seam (planted pairs at exact hamming radii)."""
+    sh = fingerprints if fingerprints is not None else simhash64(df, text_col, id_col)
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.shiftrightunsigned("simhash", off)
+                    .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
                 )
-                for i in range(4)
+                for i, (off, w) in enumerate(simhash_bands(max_hamming))
             ])
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")

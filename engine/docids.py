@@ -30,10 +30,18 @@ def assign_doc_ids(
     base: int = 0,
     strategy: str = "window",
     num_partitions: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Adds `doc_id` = base + dense 0-based rank over `order_cols`.
 
     `order_cols` must be a unique key of `df` (we use (url, warc_ts)).
+
+    `cleanup`: the "range" strategy persists the ranged intermediate (the
+    counts job and the numbering job must see the SAME sampled boundaries);
+    when the caller passes a list, the persisted DF is appended to it and
+    the CALLER unpersists after consuming the result (the ingest loop frees
+    it at end of batch — no storage accumulation across thousands of
+    micro-batches). Without a list, release falls to the ContextCleaner.
     """
     if strategy == "window":
         w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
@@ -44,16 +52,24 @@ def assign_doc_ids(
     if strategy != "range":
         raise ValueError(f"unknown strategy: {strategy}")
 
+    from pyspark import StorageLevel
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *[F.col(c).asc() for c in order_cols])
-    # eager localCheckpoint: the counts job and the numbering job must see
-    # the SAME range boundaries (repartitionByRange samples; a recompute
-    # could re-draw them). Unlike persist(), the checkpoint blocks are
-    # released by the ContextCleaner when the DF goes out of scope — the
-    # ingest loop calls this every batch and must not accumulate storage.
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+    # persist + eager count: the counts job and the numbering job must see
+    # the SAME range boundaries (repartitionByRange samples per execution;
+    # a re-execution could re-draw them). MEMORY_AND_DISK spills instead of
+    # evicting-to-recompute, so the boundaries stay frozen for the batch;
+    # the caller releases the blocks via `cleanup` at end of batch.
+    # CLUSTER CAVEAT: losing an executor's blocks mid-batch recomputes with
+    # possibly different boundaries — the ledger's not-yet-committed state
+    # makes the deterministic batch RE-RUN the recovery unit (tested kill
+    # test), exactly like the reference's redelivery semantics.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    if cleanup is not None:
+        cleanup.append(with_pid)
     # per-partition counts -> driver-side prefix sums (n rows, tiny)
     counts = {
         r["_pid"]: r["cnt"]

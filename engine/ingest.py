@@ -50,7 +50,10 @@ def as_partitioned_source(pages: DataFrame, num_partitions: int, id_col: str = "
     ConsumerWorker.java:69-72)."""
     return pages.withColumn(
         "part_id", (F.col(id_col) % num_partitions).cast("int")
-    ).withColumn("row_offset", (F.col(id_col) / num_partitions).cast("long"))
+    ).withColumn(
+        # integer division (no float rounding at any id magnitude)
+        "row_offset", F.expr(f"{id_col} DIV {int(num_partitions)}").cast("long")
+    )
 
 
 @dataclass
@@ -159,6 +162,7 @@ def process_window(
         return None
     offs = {str(r["part_id"]): r["m"] for r in offs_rows}
     docs_ided = None
+    persisted: list = []
     try:
         failed = ext.where(F.col("extract_error").isNotNull())
         n_failed = int(sum(r["nf"] or 0 for r in offs_rows))
@@ -175,29 +179,64 @@ def process_window(
         good = ext.where(F.col("extract_error").isNull()).drop("extract_error", "html")
         good = dedup_last_write_wins(good, "url", "warc_ts")
 
-        base = store.next_doc_id_base()
-        docs_ided = assign_doc_ids(
-            good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy
-        ).cache()
+        routed = cfg.routing_col is not None
+        if routed and cfg.routing_col not in good.columns:
+            raise ValueError(
+                f"routing_col {cfg.routing_col!r} not in window columns"
+            )
 
-        # doc_len came out of the extract UDF's single Python pass
-        # (n_tokens; py_tokenize == JVM tokens, tested) — no second scan
-        doc_table = docs_ided.select(
-            "doc_id", "url",
-            F.col("n_tokens").cast("long").alias("doc_len"),
-            "warc_ts", "lang", "part_id", "row_offset",
+        base = store.next_doc_id_base()
+        # tokenize ONCE, JVM-side (codegen), and cache the token arrays:
+        # doc_len (= size(toks)) and the posting build both read this cache,
+        # so the corpus is regex-scanned exactly one time per batch
+        from engine.analysis import tokens as _tokens
+
+        docs_ided = (
+            assign_doc_ids(
+                good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy,
+                cleanup=persisted,
+            )
+            .withColumn("toks", _tokens("extracted_text", cfg.token_pattern))
+            .cache()
         )
 
-        agg = doc_table.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
-        ).collect()[0]
-        n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
+        doc_cols = [
+            F.col("doc_id"), F.col("url"),
+            F.size("toks").cast("long").alias("doc_len"),
+            F.col("warc_ts"), F.col("lang"), F.col("part_id"), F.col("row_offset"),
+        ]
+        if routed:
+            doc_cols.append(F.col(cfg.routing_col).cast("string").alias("routing"))
+        doc_table = docs_ided.select(*doc_cols)
+
+        # one job: total + per-routing stats (rollup keeps it a single agg)
+        if routed:
+            stat_rows = (
+                doc_table.rollup("routing")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+                .collect()
+            )
+            routing_stats = {
+                r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+                for r in stat_rows
+                if r["routing"] is not None
+            }
+            total = [r for r in stat_rows if r["routing"] is None][0]
+            n_docs, sum_dl = int(total["n"]), int(total["s"] or 0)
+        else:
+            routing_stats = None
+            agg = doc_table.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+            ).collect()[0]
+            n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
         mark("ids_sec", _t)
 
-        # shuffle-free build: tokenize+tf+encode per doc-range partition;
-        # only compressed blocks reach the segment-write shuffle
+        # shuffle-free build: tf+encode per doc-range partition over the
+        # cached token arrays; only compressed blocks reach the
+        # segment-write shuffle
         blocks = build_posting_blocks_local(
-            docs_ided, cfg, text_col="extracted_text"
+            docs_ided, cfg, toks_col="toks",
+            routing_col=cfg.routing_col if routed else None,
         )
         written = store.write_segment(
             segment_id,
@@ -210,6 +249,7 @@ def process_window(
                 "n_docs": int(n_docs),
                 "sum_dl": int(sum_dl),
                 "batch_id": batch_id,
+                **({"routing_stats": routing_stats} if routing_stats else {}),
             },
         )
         mark("build_write_sec", _t)
@@ -254,6 +294,8 @@ def process_window(
         ext.unpersist()
         if docs_ided is not None:
             docs_ided.unpersist()
+        for p in persisted:
+            p.unpersist()
 
 
 def run_ingest_loop(
@@ -265,12 +307,20 @@ def run_ingest_loop(
     custom_offsets: dict[int, int] | None = None,
     max_batches: int | None = None,
     cfg: IndexConfig = DEFAULT_CONFIG,
+    stop_requested=None,
 ) -> list[BatchResult]:
     """The poll loop (ConsumerWorker.run): ingest windows until the source is
     drained (or max_batches). Each iteration re-reads committed offsets, so a
-    killed/restarted loop resumes exactly where the ledger says."""
+    killed/restarted loop resumes exactly where the ledger says.
+
+    `stop_requested` (E3 graceful shutdown): zero-arg callable checked
+    BETWEEN batches — the in-flight batch always finishes and commits, then
+    the loop drains (the reference's ConsumerManager stop semantics:
+    shutdown drains workers, ConsumerManager.java:118-142)."""
     results: list[BatchResult] = []
     while max_batches is None or len(results) < max_batches:
+        if stop_requested is not None and stop_requested():
+            break
         hwm = resolve_start_offsets(store, source, start_option, custom_offsets)
         # after the first batch we always follow the ledger
         start_option, custom_offsets = RESTART, None

@@ -55,13 +55,21 @@ def merge_segments(
     out_id = f"merge-{entry_id:08d}"
 
     docs = store.docs(spark, inputs)
+    routed = "routing" in docs.columns
     live = live_doc_ids(docs).cache()
     try:
         postings_long = decode_postings(store.postings(spark, inputs))
-        # expunge superseded docs' postings (dl already travels in the blocks)
-        merged_tf_dl = postings_long.join(
-            live.select("doc_id"), "doc_id", "left_semi"
-        )
+        # expunge superseded docs' postings (dl already travels in the
+        # blocks); routed merges re-attach each doc's routing so the merged
+        # blocks stay routing-pure (partitionBy survives the merge)
+        if routed:
+            merged_tf_dl = postings_long.join(
+                live.select("doc_id", "routing"), "doc_id"
+            )
+        else:
+            merged_tf_dl = postings_long.join(
+                live.select("doc_id"), "doc_id", "left_semi"
+            )
 
         hwm = store.next_doc_id_base()
         blocks = build_posting_blocks(merged_tf_dl, max(hwm, 1), cfg)
@@ -76,6 +84,16 @@ def merge_segments(
             "sum_dl": int(sum_dl),
             "merged_from": inputs,
         }
+        if routed:
+            rs = (
+                live.groupBy("routing")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+                .collect()
+            )
+            stats["routing_stats"] = {
+                r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+                for r in rs
+            }
         store.write_segment(out_id, blocks, live, stats)
         store.commit(
             LedgerEntry(
@@ -91,15 +109,34 @@ def merge_segments(
         live.unpersist()
 
 
+def select_merge_tier(store: IndexStore, merge_factor: int = 8) -> list[str] | None:
+    """Size-tiered merge selection (Lucene TieredMergePolicy shape): bucket
+    live segments into power-of-two doc-count tiers and pick the smallest
+    tier holding >= merge_factor segments. Bounds every merge to at most
+    merge_factor similar-sized inputs — at 100 TB a merge job's input is
+    O(merge_factor * tier_size), never "all live segments at once"."""
+    live = store.live_segments()
+    if len(live) < merge_factor:
+        return None
+    tiers: dict[int, list[str]] = {}
+    for s in live:
+        n = max(1, int(store.segment_stats(s)["n_docs"]))
+        tiers.setdefault(n.bit_length(), []).append(s)
+    for t in sorted(tiers):
+        if len(tiers[t]) >= merge_factor:
+            return sorted(tiers[t])[:merge_factor]
+    return None
+
+
 def maybe_merge(
     spark: SparkSession,
     store: IndexStore,
     merge_factor: int = 8,
     cfg: IndexConfig = DEFAULT_CONFIG,
 ) -> str | None:
-    """Log-structured policy: merge all live segments when there are >=
-    merge_factor of them (single-tier; tiers are a policy refinement)."""
-    live = store.live_segments()
-    if len(live) >= merge_factor:
-        return merge_segments(spark, store, live, cfg)
+    """Tiered log-structured policy: merge the smallest over-full size tier
+    (bounded input count), not every live segment."""
+    sel = select_merge_tier(store, merge_factor)
+    if sel is not None:
+        return merge_segments(spark, store, sel, cfg)
     return None

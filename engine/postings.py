@@ -44,6 +44,10 @@ POSTINGS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf int, min_dl int"
 )
 
+# routing-aware variant (D9): every block belongs to exactly one routing
+# partition; segments store these hive-partitioned by `routing`
+POSTINGS_SCHEMA_ROUTED = POSTINGS_SCHEMA + ", routing string"
+
 # Max postings per (term, bucket) group — bounds applyInPandas group memory.
 # 1M postings ~ 8-16 MB in-flight per group; at 10^12 docs a df=9e11 hot term
 # fans out to ~900k parallel groups instead of one 9e11-row reducer.
@@ -76,7 +80,12 @@ def build_posting_blocks(
     cfg: IndexConfig = DEFAULT_CONFIG,
     bucket_postings: int = DEFAULT_BUCKET_POSTINGS,
 ) -> DataFrame:
-    """(doc_id, term, tf, dl) -> compressed block rows (POSTINGS_SCHEMA)."""
+    """(doc_id, term, tf, dl) -> compressed block rows (POSTINGS_SCHEMA).
+
+    If tf_dl carries a `routing` column (D9 merge path), blocks are built
+    per (routing, term, bucket) group and keep the routing value — a block
+    never spans routing partitions."""
+    routed = "routing" in tf_dl.columns
     dfreq = tf_dl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_buckets = F.greatest(
         F.lit(1), F.ceil(F.col("df") / F.lit(bucket_postings))
@@ -107,6 +116,7 @@ def build_posting_blocks(
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
         term = pdf["term"].iloc[0]
+        routing = pdf["routing"].iloc[0] if routed else None
         rows = []
         for s in range(0, len(docs), block_size):
             e = min(s + block_size, len(docs))
@@ -127,16 +137,20 @@ def build_posting_blocks(
                     int(dls[s:e].min()),
                 )
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=[
                 "term", "n", "min_doc", "max_doc",
                 "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "min_dl",
             ],
         )
+        if routed:
+            out["routing"] = routing
+        return out
 
-    return with_bucket.groupBy("term", "bucket").applyInPandas(
-        encode, schema=POSTINGS_SCHEMA
+    group_cols = (["routing"] if routed else []) + ["term", "bucket"]
+    return with_bucket.groupBy(*group_cols).applyInPandas(
+        encode, schema=POSTINGS_SCHEMA_ROUTED if routed else POSTINGS_SCHEMA
     )
 
 
@@ -148,16 +162,25 @@ def build_posting_blocks_local(
     num_partitions: int | None = None,
     assume_partitioned: bool = False,
     flush_docs: int = 25_000,
+    routing_col: str | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Shuffle-free posting build: the production path for the ingest loop.
 
     Key insight: term frequency is a PER-DOCUMENT computation — a doc's
     tokens all live in its own row, so tf needs no explode and no
-    groupBy(doc_id, term) shuffle at all. Each doc-id-range partition
-    tokenizes, counts and block-encodes its own docs in one Arrow pass
-    (py_tokenize == the JVM tokenizer, tested); only the compressed block
-    rows (~2 orders of magnitude smaller than the raw token stream) ever
-    hit a shuffle (the term-sorted segment write).
+    groupBy(doc_id, term) shuffle at all. Tokenization happens JVM-side
+    (codegen regexp, identical stream to py_tokenize — tested), or is read
+    from a precomputed `toks_col` (the ingest loop tokenizes once into its
+    cache); each doc-id-range partition counts and block-encodes its own
+    docs in one mapInArrow pass. The Python worker never materializes a
+    single token as a Python object: tokens arrive as Arrow buffers,
+    dictionary_encode (Arrow C++) is the factorize, and everything after is
+    int64 numpy + buffer slicing — this is what keeps 32 concurrent workers
+    from thrashing the allocator/GC (the round-1 8->32 scaling regression:
+    reused pandas-UDF workers degraded 2.8x from string-object churn).
+    Only the compressed block rows (~2 orders of magnitude smaller than the
+    raw token stream) ever hit a shuffle (the term-sorted segment write).
 
     vs the relational path (build_posting_blocks): identical decoded
     postings (tested), but none of its three 10^|tokens|-row shuffles.
@@ -170,46 +193,84 @@ def build_posting_blocks_local(
     `flush_docs` bounds builder memory per partition (postings for at most
     that many docs are buffered before encoding) — the knob that keeps a
     1M-doc partition from holding 300M postings in Python at 10^12-doc
-    scale."""
-    from engine.analysis import py_tokenize
+    scale.
 
-    sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    `routing_col` (D9): range-partition by (routing, doc_id) instead of
+    doc_id alone and emit a `routing` column — every block's postings share
+    one routing value, so the segment write can hive-partition by it. A hot
+    routing value still spreads over multiple range partitions (the range is
+    on the PAIR), so skew does not melt one task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks_expr = (
+        F.col(toks_col) if toks_col else tokens(text_col, cfg.token_pattern)
+    )
+    proj = [F.col(id_col).alias("doc_id"), toks_expr.alias("toks")]
+    sort_cols = ["doc_id"]
+    if routing_col:
+        proj.append(F.col(routing_col).cast("string").alias("_routing"))
+        sort_cols = ["_routing", "doc_id"]
+    sel = docs.select(*proj)
     if not assume_partitioned:
         n = num_partitions or sel.sparkSession.sparkContext.defaultParallelism
-        sel = sel.repartitionByRange(n, "doc_id")
-    sel = sel.sortWithinPartitions("doc_id")
+        sel = sel.repartitionByRange(n, *sort_cols)
+    sel = sel.sortWithinPartitions(*sort_cols)
 
     block_size = cfg.block_size
-    cols = [
-        "term", "n", "min_doc", "max_doc",
-        "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "min_dl",
+    out_fields = [
+        pa.field("term", pa.string()),
+        pa.field("n", pa.int32()),
+        pa.field("min_doc", pa.int64()),
+        pa.field("max_doc", pa.int64()),
+        pa.field("doc_bytes", pa.binary()),
+        pa.field("tf_bytes", pa.binary()),
+        pa.field("dl_bytes", pa.binary()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("min_dl", pa.int32()),
     ]
+    if routing_col:
+        out_fields.append(pa.field("routing", pa.string()))
+    out_schema = pa.schema(out_fields)
 
-    def flush(doc_ids: list, texts: list) -> pd.DataFrame:
-        """Fully vectorized: ONE factorize over the flush's tokens, two
-        integer argsorts, reduceat block metadata, and a single varint pass
-        per stream sliced into blocks by byte offsets. No object-dtype
-        groupby and no per-block encode calls — the per-worker hot loop is
-        int64 numpy throughout (the 8->32-core scaling hinges on this: the
-        object-hashing variant was memory-bandwidth-bound)."""
+    def _bin_col(buf: bytes, val_off: np.ndarray, b_starts: np.ndarray) -> pa.Array:
+        """Zero-copy binary column: blocks tile the value range consecutively,
+        so the per-block byte offsets are just val_off at block boundaries."""
+        n_blocks = len(b_starts)
+        offs = val_off[np.append(b_starts, len(val_off) - 1)].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), n_blocks,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+        )
+
+    def flush(ids_arr: np.ndarray, tok_chunks: list, routing) -> pa.RecordBatch | None:
+        """One fully-vectorized encode of <=flush_docs docs. No Python string
+        objects anywhere: tokens stay Arrow buffers (dictionary_encode is the
+        C++ factorize), counting/sorting/delta/varint are int64 numpy, block
+        byte-slicing is offset arithmetic over two shared buffers, and the
+        term column is an Arrow take() on the dictionary."""
         from engine.codecs import varint_encode_with_lengths
 
-        tok_lists = [py_tokenize(t) for t in texts]
-        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-        keep = lens > 0
-        if not keep.any():
-            return pd.DataFrame(columns=cols)
-        ids_arr = np.asarray(doc_ids, dtype=np.int64)[keep]
-        lens_k = lens[keep]
-        flat: list[str] = []
-        for t, k in zip(tok_lists, keep):
-            if k:
-                flat.extend(t)
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        codes = codes.astype(np.int64)
-        uniq = np.asarray(uniq, dtype=object)
+        toks = (
+            tok_chunks[0]
+            if len(tok_chunks) == 1
+            else pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in tok_chunks])
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets)
+        lens = np.diff(offsets).astype(np.int64)
+        if lens.sum() == 0:
+            return None
+        flat = toks.flatten()
+        enc_d = pc.dictionary_encode(flat)
+        if isinstance(enc_d, pa.ChunkedArray):
+            enc_d = enc_d.combine_chunks()
+        codes = np.asarray(enc_d.indices).astype(np.int64)
+        uniq = enc_d.dictionary
         v_size = np.int64(len(uniq))
-        doc_idx = np.repeat(np.arange(len(ids_arr), dtype=np.int64), lens_k)
+        # docs with zero tokens simply never appear (repeat skips len 0)
+        doc_idx = np.repeat(np.arange(len(ids_arr), dtype=np.int64), lens)
 
         # (doc, term) tf via one int64 sort + run-length encode
         key = doc_idx * v_size + codes
@@ -223,7 +284,7 @@ def build_posting_blocks_local(
         d_idx = kk // v_size
         code = kk % v_size
         doc = ids_arr[d_idx]
-        dl = lens_k[d_idx]
+        dl = lens[d_idx]
 
         # postings order: (term, doc asc) — stable sort by code keeps the
         # doc-major order within each term
@@ -257,46 +318,74 @@ def build_posting_blocks_local(
         t_off = np.concatenate(([0], np.cumsum(t_len)))
         l_off = np.concatenate(([0], np.cumsum(l_len)))
 
-        n_blk = (b_ends - b_starts).astype(np.int64)
-        min_doc = doc[b_starts]
-        max_doc = doc[b_ends - 1]
-        max_tf = np.maximum.reduceat(tf, b_starts)
-        min_dl = np.minimum.reduceat(dl, b_starts)
-        term_of_block = uniq[code[b_starts]]
+        arrays = [
+            pc.take(uniq, pa.array(code[b_starts], type=pa.int64())),
+            pa.array((b_ends - b_starts).astype(np.int32), type=pa.int32()),
+            pa.array(doc[b_starts], type=pa.int64()),
+            pa.array(doc[b_ends - 1], type=pa.int64()),
+            _bin_col(d_buf, d_off, b_starts),
+            _bin_col(t_buf, t_off, b_starts),
+            _bin_col(l_buf, l_off, b_starts),
+            pa.array(np.maximum.reduceat(tf, b_starts).astype(np.int32), type=pa.int32()),
+            pa.array(np.minimum.reduceat(dl, b_starts).astype(np.int32), type=pa.int32()),
+        ]
+        if routing_col:
+            arrays.append(pa.array([routing] * len(b_starts), type=pa.string()))
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-        return pd.DataFrame(
-            {
-                "term": term_of_block,
-                "n": n_blk.astype(np.int32),
-                "min_doc": min_doc,
-                "max_doc": max_doc,
-                "doc_bytes": [
-                    d_buf[d_off[s]:d_off[e]] for s, e in zip(b_starts, b_ends)
-                ],
-                "tf_bytes": [
-                    t_buf[t_off[s]:t_off[e]] for s, e in zip(b_starts, b_ends)
-                ],
-                "dl_bytes": [
-                    l_buf[l_off[s]:l_off[e]] for s, e in zip(b_starts, b_ends)
-                ],
-                "max_tf": max_tf.astype(np.int32),
-                "min_dl": min_dl.astype(np.int32),
-            }
-        )
-
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def enc(batches):
         buf_ids: list = []
-        buf_texts: list = []
-        for b in batches:
-            buf_ids.extend(b["doc_id"].tolist())
-            buf_texts.extend(b["text"].tolist())
-            if len(buf_ids) >= flush_docs:
-                yield flush(buf_ids, buf_texts)
-                buf_ids, buf_texts = [], []
-        if buf_ids:
-            yield flush(buf_ids, buf_texts)
+        buf_toks: list = []
+        buf_n = 0
+        cur_routing = None
 
-    return sel.mapInPandas(enc, schema=POSTINGS_SCHEMA)
+        def do_flush():
+            nonlocal buf_ids, buf_toks, buf_n
+            rb = flush(np.concatenate(buf_ids), buf_toks, cur_routing)
+            buf_ids, buf_toks, buf_n = [], [], 0
+            return rb
+
+        for b in batches:
+            ids = np.asarray(b.column(0), dtype=np.int64)
+            toks = b.column(1)
+            if routing_col:
+                # input sorted by (_routing, doc_id): walk runs of equal
+                # routing so every flush covers exactly one routing value
+                r_enc = pc.dictionary_encode(b.column(2))
+                r_idx = np.asarray(r_enc.indices)
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(r_idx[1:] != r_idx[:-1]) + 1, [len(r_idx)])
+                )
+                for s, e in zip(bounds, bounds[1:]):
+                    rv = r_enc.dictionary[int(r_idx[s])].as_py()
+                    if buf_n and rv != cur_routing:
+                        rb = do_flush()
+                        if rb is not None:
+                            yield rb
+                    cur_routing = rv
+                    buf_ids.append(ids[s:e])
+                    buf_toks.append(toks.slice(int(s), int(e - s)).combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks.slice(int(s), int(e - s)))
+                    buf_n += int(e - s)
+                    if buf_n >= flush_docs:
+                        rb = do_flush()
+                        if rb is not None:
+                            yield rb
+            else:
+                buf_ids.append(ids)
+                buf_toks.append(toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks)
+                buf_n += len(ids)
+                if buf_n >= flush_docs:
+                    rb = do_flush()
+                    if rb is not None:
+                        yield rb
+        if buf_n:
+            rb = do_flush()
+            if rb is not None:
+                yield rb
+
+    return sel.mapInArrow(
+        enc, schema=POSTINGS_SCHEMA_ROUTED if routing_col else POSTINGS_SCHEMA
+    )
 
 
 def term_stats(postings: DataFrame) -> DataFrame:

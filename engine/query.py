@@ -193,6 +193,7 @@ def search_store(
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
     conjunctive: bool = False,
+    routing: str | None = None,
 ) -> DataFrame:
     """BM25 top-k over a persisted multi-segment index (engine.segments).
 
@@ -202,15 +203,28 @@ def search_store(
     - df and avgdl come from the stored per-segment stats, which include
       superseded docs until a merge expunges them (exactly how deleted docs
       affect Lucene/ES scores until merge).
+
+    `routing` (D9): restrict the search to one routing partition. The
+    postings/docs scans prune to that partition's files, and scoring uses
+    the partition's own stats (shard-local BM25 — exactly what a routed ES
+    query_then_fetch search does: it scores on the routed shard's stats).
+    df(t) likewise comes from the pruned blocks (bm25_topk_from_index
+    derives it from the candidate set), so it is the partition-local df.
     """
     from engine.merge import live_doc_ids
 
-    stats = store.global_stats()
-    docs = store.docs(spark)
+    if routing is not None:
+        stats = store.routing_global_stats(routing)
+        postings = store.postings_routed(spark, routing)
+        docs = store.docs_routed(spark, routing)
+    else:
+        stats = store.global_stats()
+        postings = store.postings(spark)
+        docs = store.docs(spark)
     n_segments = len(store.live_segments())
     live = live_doc_ids(docs) if n_segments > 1 else None
     return bm25_topk_from_index(
-        store.postings(spark),
+        postings,
         stats["n_docs"],
         stats["avgdl"],
         query_terms,
@@ -243,27 +257,48 @@ class IndexReader:
 
         self.stats = self.store.global_stats()
         self.postings = self.store.postings(self.spark).cache()
-        self.df_by_term = {
-            r["term"]: r["df"] for r in self.store.term_stats_df(self.spark).collect()
-        }
+        # term stats stay a (cached) DataFrame — never collected whole: a
+        # web-scale vocabulary is 10^8+ terms and would OOM the driver. Each
+        # query filters to its own few terms and memoizes the result.
+        self._term_stats = self.store.term_stats_df(self.spark).cache()
+        self._df_memo: dict[str, int] = {}
         self.doc_id_hwm = self.store.next_doc_id_base()
         self.deleted: frozenset = frozenset()
+        self._deleted_overflow = False
         if len(self.store.live_segments()) > 1:
             docs = self.store.docs(self.spark)
             deleted = docs.join(
                 live_doc_ids(docs).select("doc_id"), "doc_id", "left_anti"
             )
-            self.deleted = frozenset(
-                r["doc_id"] for r in deleted.select("doc_id").collect()
-            )
-        self.postings.count()  # materialize the cache
+            cap = self.cfg.max_deleted_driver
+            rows = deleted.select("doc_id").limit(cap + 1).collect()
+            if len(rows) > cap:
+                # too many superseded docs to ship to every task — WAND
+                # queries fall back to the distributed exact path until the
+                # next merge shrinks the set
+                self._deleted_overflow = True
+            else:
+                self.deleted = frozenset(r["doc_id"] for r in rows)
+        self.postings.count()  # materialize the caches
+        self._term_stats.count()
+
+    def df_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Per-term document frequencies, resolved lazily and memoized."""
+        missing = [t for t in set(terms) if t not in self._df_memo]
+        if missing:
+            rows = self._term_stats.where(F.col("term").isin(missing)).collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = found.get(t, 0)
+        return {t: self._df_memo[t] for t in set(terms)}
 
     def refresh(self) -> None:
-        self.postings.unpersist()
+        self.close()
         self._open()
 
     def close(self) -> None:
         self.postings.unpersist()
+        self._term_stats.unpersist()
 
     def search(
         self, query_terms: list[str], k: int = 10, conjunctive: bool = False
@@ -289,7 +324,13 @@ class IndexReader:
         return live_doc_ids(docs)
 
     def search_wand(self, query_terms: list[str], k: int = 10) -> DataFrame:
-        """Block-max WAND top-k from the cached index."""
+        """Block-max WAND top-k from the cached index.
+
+        When the superseded-doc set exceeds cfg.max_deleted_driver, falls
+        back to the exact path (distributed live-docs anti-join) — same
+        results, no giant broadcast set."""
+        if self._deleted_overflow:
+            return self.search(query_terms, k=k)
         from engine.wand import wand_topk
 
         return wand_topk(
@@ -297,7 +338,7 @@ class IndexReader:
             self.postings,
             self.stats["n_docs"],
             self.stats["avgdl"],
-            self.df_by_term,
+            self.df_for_terms(query_terms),
             query_terms,
             k=k,
             cfg=self.cfg,

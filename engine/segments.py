@@ -158,30 +158,57 @@ class IndexStore:
         """
         sp = self.segment_path(segment_id)
         spark = postings.sparkSession
+        routed = "routing" in postings.columns
         # materialize the (expensive) build exactly ONCE before the ranged
         # write: repartitionByRange SAMPLES its input to pick boundaries,
-        # which would execute the whole upstream build a second time. The
-        # checkpoint holds only compressed blocks (~100x smaller than the
-        # token stream); sampling + shuffle then read from it.
-        blocks_mat = postings.localCheckpoint(eager=True)
+        # which would execute the whole upstream build a second time.
+        # persist(MEMORY_AND_DISK) holds only compressed blocks (~100x
+        # smaller than the token stream), keeps lineage for cluster
+        # recovery, and is explicitly released below — no storage
+        # accumulation across micro-batches (the round-1 leak: abandoned
+        # localCheckpoint blocks evicted later batches' caches).
+        from pyspark import StorageLevel
+
+        blocks_mat = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        blocks_mat.count()
         # postings globally sorted by (term, min_doc) -> parquet row-group
         # min/max stats make `WHERE term IN (...)` skip row groups at query
         # time. Ranging on (term, min_doc) — not term alone — splits a hot
         # term's many blocks across partitions instead of melting one
         # reducer (the write-side analog of doc-range bucketing).
-        (
-            blocks_mat.repartitionByRange(F.col("term"), F.col("min_doc"))
-            .sortWithinPartitions("term", "min_doc")
-            .write.mode("overwrite")
-            .parquet(os.path.join(sp, "postings"))
-        )
-        written = spark.read.parquet(os.path.join(sp, "postings"))
+        # Routed segments (D9) are additionally hive-partitioned by routing:
+        # a routed query's scan touches ONLY that routing value's files.
+        range_cols = (["routing"] if routed else []) + ["term", "min_doc"]
+        try:
+            writer = (
+                blocks_mat.repartitionByRange(*[F.col(c) for c in range_cols])
+                .sortWithinPartitions(*range_cols)
+                .write.mode("overwrite")
+            )
+            if routed:
+                writer = writer.partitionBy("routing")
+            writer.parquet(os.path.join(sp, "postings"))
+        finally:
+            blocks_mat.unpersist()
+        written = self._read_parquet(spark, os.path.join(sp, "postings"))
         from engine.postings import term_stats as _ts
 
         _ts(written).write.mode("overwrite").parquet(os.path.join(sp, "term_stats"))
-        docs.write.mode("overwrite").parquet(os.path.join(sp, "docs"))
+        doc_writer = docs.write.mode("overwrite")
+        if routed and "routing" in docs.columns:
+            doc_writer = doc_writer.partitionBy("routing")
+        doc_writer.parquet(os.path.join(sp, "docs"))
         _atomic_write_json(os.path.join(sp, "stats.json"), stats)
         return written
+
+    @staticmethod
+    def _read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+        """Parquet read that keeps hive partition values as strings (a
+        routing value like "7" must not come back as an int column)."""
+        df = spark.read.option("mergeSchema", "false").parquet(*paths)
+        if "routing" in df.columns:
+            df = df.withColumn("routing", F.col("routing").cast("string"))
+        return df
 
     def segment_stats(self, segment_id: str) -> dict:
         with open(os.path.join(self.segment_path(segment_id), "stats.json")) as f:
@@ -196,7 +223,19 @@ class IndexStore:
         if not segs:
             raise ValueError(f"index {self.name} has no live segments")
         paths = [os.path.join(self.segment_path(s), sub) for s in segs]
-        return spark.read.parquet(*paths)
+        routed = os.path.isdir(paths[0]) and any(
+            d.startswith("routing=") for d in os.listdir(paths[0])
+        )
+        if len(paths) == 1 or not routed:
+            return self._read_parquet(spark, *paths)
+        # hive-partitioned segment dirs (routing=...) cannot share one
+        # multi-root read (CONFLICTING_DIRECTORY_STRUCTURES) — union the
+        # per-segment reads; Catalyst still prunes partitions per child scan
+        dfs = [self._read_parquet(spark, p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def postings(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
         return self._read_union(spark, "postings", segments)
@@ -207,6 +246,42 @@ class IndexStore:
     def term_stats_df(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
         df = self._read_union(spark, "term_stats", segments)
         return df.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+
+    def postings_routed(self, spark: SparkSession, routing: str,
+                        segments: list[str] | None = None) -> DataFrame:
+        """Postings pruned to one routing partition (D9): the filter lands on
+        the hive partition column, so only routing=<val> directories are ever
+        listed or read — the ES routed-shard-search data-locality analog."""
+        return self.postings(spark, segments).where(F.col("routing") == F.lit(routing))
+
+    def docs_routed(self, spark: SparkSession, routing: str,
+                    segments: list[str] | None = None) -> DataFrame:
+        return self.docs(spark, segments).where(F.col("routing") == F.lit(routing))
+
+    def routing_values(self, segments: list[str] | None = None) -> list[str]:
+        segs = self.live_segments() if segments is None else segments
+        vals: set[str] = set()
+        for s in segs:
+            vals.update((self.segment_stats(s).get("routing_stats") or {}).keys())
+        return sorted(vals)
+
+    def routing_global_stats(self, routing: str,
+                             segments: list[str] | None = None) -> dict:
+        """Per-routing-partition corpus stats (shard-local BM25 semantics: a
+        routed ES query_then_fetch search scores with the routed shard's own
+        stats — SURVEY.md §2.5 D9)."""
+        segs = self.live_segments() if segments is None else segments
+        n_docs, sum_dl = 0, 0
+        for s in segs:
+            rs = (self.segment_stats(s).get("routing_stats") or {}).get(routing)
+            if rs:
+                n_docs += rs["n_docs"]
+                sum_dl += rs["sum_dl"]
+        return {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        }
 
     def global_stats(self, segments: list[str] | None = None) -> dict:
         segs = self.live_segments() if segments is None else segments

@@ -31,14 +31,22 @@ from engine.ingest import BatchResult, process_window
 from engine.segments import IndexStore
 
 
+def committed_epochs(store: IndexStore) -> set[int]:
+    """Epoch ids already in the ledger — the idempotency guard's state.
+    Read once per stream start (a restart reconstructs it from the ledger);
+    the running stream appends in-memory, so the guard is O(1) per batch
+    instead of re-parsing every ledger file each micro-batch."""
+    return {
+        int(e.metrics["epoch_id"])
+        for e in store.ledger_entries()
+        if e.kind == "ingest" and e.metrics.get("epoch_id") is not None
+    }
+
+
 def epoch_already_committed(store: IndexStore, epoch_id: int) -> bool:
     """Idempotency guard: foreachBatch may replay an epoch after a crash
     between our ledger commit and Spark's checkpoint write."""
-    return any(
-        e.metrics.get("epoch_id") == epoch_id
-        for e in store.ledger_entries()
-        if e.kind == "ingest"
-    )
+    return epoch_id in committed_epochs(store)
 
 
 def stream_ingest(
@@ -65,14 +73,14 @@ def stream_ingest(
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     pages = reader.parquet(source_dir)
 
+    from engine.ingest import as_partitioned_source
+
+    committed = committed_epochs(store)
+
     def handle(batch_df, epoch_id: int) -> None:
-        if epoch_already_committed(store, int(epoch_id)):
+        if int(epoch_id) in committed:
             return  # replayed epoch: segment already durable, skip (E1/E4)
-        window = batch_df.withColumn(
-            "part_id", (F.col("row_id") % num_partitions).cast("int")
-        ).withColumn(
-            "row_offset", (F.col("row_id") / num_partitions).cast("long")
-        )
+        window = as_partitioned_source(batch_df, num_partitions)
         res = process_window(
             spark,
             store,
@@ -81,6 +89,7 @@ def stream_ingest(
             cfg=cfg,
             extra_metrics={"epoch_id": int(epoch_id)},
         )
+        committed.add(int(epoch_id))
         if results is not None and res is not None:
             results.append(res)
 

@@ -216,7 +216,15 @@ def search_store_wand(
         deleted = docs.join(
             live_doc_ids(docs).select("doc_id"), "doc_id", "left_anti"
         )
-        excluded = frozenset(r["doc_id"] for r in deleted.select("doc_id").collect())
+        cap = cfg.max_deleted_driver
+        rows = deleted.select("doc_id").limit(cap + 1).collect()
+        if len(rows) > cap:
+            # superseded set too big to ship to every task — fall back to the
+            # fully distributed exact path (same results) until a merge runs
+            from engine.query import search_store
+
+            return search_store(spark, store, q_terms, k=k, cfg=cfg)
+        excluded = frozenset(r["doc_id"] for r in rows)
     return wand_topk(
         spark,
         store.postings(spark),

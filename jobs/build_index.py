@@ -32,7 +32,11 @@ def main() -> None:
     ap.add_argument("--source-partitions", type=int, default=8)
     ap.add_argument("--rows-per-partition", type=int, default=5_000)
     ap.add_argument("--start", default="RESTART",
-                    choices=["RESTART", "EARLIEST", "LATEST"])
+                    choices=["RESTART", "EARLIEST", "LATEST", "CUSTOM"])
+    ap.add_argument("--offsets", default=None,
+                    help="CUSTOM start offsets 'part:off,part:off,...' "
+                         "(reference ConsumerStartOption.java:31-89 per-"
+                         "partition config file)")
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--merge-factor", type=int, default=0,
                     help="merge all live segments when count reaches this (0=never)")
@@ -55,14 +59,40 @@ def main() -> None:
     if not store.exists():
         store.create()
 
+    # E3 graceful shutdown (ConsumerManager.java:118-142 drain semantics):
+    # SIGTERM/SIGINT finish the in-flight batch (segment + ledger commit),
+    # then the loop stops — the ledger makes the next run resume exactly.
+    import signal
+
+    stopping = {"flag": False}
+
+    def _stop(signum, frame):
+        print(json.dumps({"signal": signum, "action": "finish-current-batch-then-stop"}),
+              flush=True)
+        stopping["flag"] = True
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+
+    custom = None
+    if args.start == "CUSTOM":
+        custom = {
+            int(p): int(o)
+            for p, o in (kv.split(":") for kv in (args.offsets or "").split(",") if kv)
+        }
+
     results = run_ingest_loop(
         spark, store, source,
         rows_per_partition=args.rows_per_partition,
         start_option=args.start,
+        custom_offsets=custom,
         max_batches=args.max_batches,
+        stop_requested=lambda: stopping["flag"],
     )
     for r in results:
         print(json.dumps(r.metrics))
+    if stopping["flag"]:
+        print(json.dumps({"stopped": "graceful", "batches_done": len(results)}))
 
     if args.merge_factor:
         merged = maybe_merge(spark, store, merge_factor=args.merge_factor)

@@ -17,12 +17,32 @@ def main() -> None:
     files = [
         p
         for p in glob.glob(f"{d}/**/*", recursive=True)
-        if os.path.isfile(p) and "appstatus" not in p
+        if os.path.isfile(p) and "appstatus" not in p and not p.endswith(".crc")
     ]
+
+    def lines_of(path):
+        if path.endswith(".zstd"):
+            import pyarrow as pa
+
+            codec = pa.Codec("zstd")
+            with open(path, "rb") as f:
+                # spark writes a zstd stream; decompress whole file
+                import subprocess
+
+                try:
+                    raw = codec.decompress(f.read(), None)
+                except Exception:
+                    raw = subprocess.run(
+                        ["zstd", "-dc", path], capture_output=True
+                    ).stdout
+            yield from raw.decode("utf-8", "replace").splitlines()
+        else:
+            with open(path) as f:
+                yield from f
+
     stages = []
     for path in files:
-        with open(path) as f:
-            for line in f:
+        for line in lines_of(path):
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
