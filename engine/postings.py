@@ -163,23 +163,21 @@ def build_posting_blocks_local(
     assume_partitioned: bool = False,
     flush_docs: int = 25_000,
     routing_col: str | None = None,
-    toks_col: str | None = None,
 ) -> DataFrame:
     """Shuffle-free posting build: the production path for the ingest loop.
 
     Key insight: term frequency is a PER-DOCUMENT computation — a doc's
     tokens all live in its own row, so tf needs no explode and no
-    groupBy(doc_id, term) shuffle at all. Tokenization happens JVM-side
-    (codegen regexp, identical stream to py_tokenize — tested), or is read
-    from a precomputed `toks_col` (the ingest loop tokenizes once into its
-    cache); each doc-id-range partition counts and block-encodes its own
-    docs in one mapInArrow pass. The Python worker never materializes a
-    single token as a Python object: tokens arrive as Arrow buffers,
-    dictionary_encode (Arrow C++) is the factorize, and everything after is
-    int64 numpy + buffer slicing — this is what keeps 32 concurrent workers
-    from thrashing the allocator/GC (the round-1 8->32 scaling regression:
-    reused pandas-UDF workers degraded 2.8x from string-object churn).
-    Only the compressed block rows (~2 orders of magnitude smaller than the
+    groupBy(doc_id, term) shuffle at all. Each doc-id-range partition
+    tokenizes, counts and block-encodes its own docs in one mapInArrow
+    pass. Tokenization uses Python's C regex (measured ~7x faster than
+    Java's \p{L} classes, so it stays OUT of the JVM); the token strings
+    are immediately handed to Arrow dictionary_encode (C++ factorize) and
+    dropped — everything after is int64 numpy + buffer slicing, and the
+    output block rows are built from Arrow buffers without per-block Python
+    objects. This bounds per-worker allocator/GC churn (the round-1 8->32
+    scaling regression: pandas object factorize + per-block bytes degraded
+    reused workers 2.8x). Only the compressed block rows (~2 orders of magnitude smaller than the
     raw token stream) ever hit a shuffle (the term-sorted segment write).
 
     vs the relational path (build_posting_blocks): identical decoded
@@ -203,10 +201,7 @@ def build_posting_blocks_local(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    toks_expr = (
-        F.col(toks_col) if toks_col else tokens(text_col, cfg.token_pattern)
-    )
-    proj = [F.col(id_col).alias("doc_id"), toks_expr.alias("toks")]
+    proj = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
     sort_cols = ["doc_id"]
     if routing_col:
         proj.append(F.col(routing_col).cast("string").alias("_routing"))
@@ -243,29 +238,35 @@ def build_posting_blocks_local(
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
         )
 
-    def flush(ids_arr: np.ndarray, tok_chunks: list, routing) -> pa.RecordBatch | None:
-        """One fully-vectorized encode of <=flush_docs docs. No Python string
-        objects anywhere: tokens stay Arrow buffers (dictionary_encode is the
-        C++ factorize), counting/sorting/delta/varint are int64 numpy, block
-        byte-slicing is offset arithmetic over two shared buffers, and the
-        term column is an Arrow take() on the dictionary."""
+    def flush(ids_arr: np.ndarray, text_chunks: list, routing) -> pa.RecordBatch | None:
+        """One fully-vectorized encode of <=flush_docs docs: Python C-regex
+        tokenize -> Arrow dictionary_encode (C++ factorize; the short-lived
+        token strings are dropped right after) -> int64 numpy counting/
+        sorting/delta/varint -> output blocks built from Arrow buffers (no
+        per-block Python objects; the term column is a take() on the
+        dictionary)."""
+        from engine.analysis import py_tokenize
         from engine.codecs import varint_encode_with_lengths
 
-        toks = (
-            tok_chunks[0]
-            if len(tok_chunks) == 1
-            else pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in tok_chunks])
+        tok_lists = []
+        for ch in text_chunks:
+            tok_lists.extend(
+                py_tokenize(t) for t in ch.to_pylist()
+            )
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
         )
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = np.asarray(toks.offsets)
-        lens = np.diff(offsets).astype(np.int64)
         if lens.sum() == 0:
             return None
-        flat = toks.flatten()
-        enc_d = pc.dictionary_encode(flat)
-        if isinstance(enc_d, pa.ChunkedArray):
-            enc_d = enc_d.combine_chunks()
+        import itertools
+
+        flat = pa.array(
+            itertools.chain.from_iterable(tok_lists), type=pa.string(),
+            size=int(lens.sum()),
+        )
+        tok_lists = None  # token strings die here, before the heavy numpy work
+        enc_d = flat.dictionary_encode()
+        flat = None
         codes = np.asarray(enc_d.indices).astype(np.int64)
         uniq = enc_d.dictionary
         v_size = np.int64(len(uniq))
@@ -347,7 +348,7 @@ def build_posting_blocks_local(
 
         for b in batches:
             ids = np.asarray(b.column(0), dtype=np.int64)
-            toks = b.column(1)
+            texts = b.column(1)
             if routing_col:
                 # input sorted by (_routing, doc_id): walk runs of equal
                 # routing so every flush covers exactly one routing value
@@ -364,7 +365,7 @@ def build_posting_blocks_local(
                             yield rb
                     cur_routing = rv
                     buf_ids.append(ids[s:e])
-                    buf_toks.append(toks.slice(int(s), int(e - s)).combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks.slice(int(s), int(e - s)))
+                    buf_toks.append(texts.slice(int(s), int(e - s)))
                     buf_n += int(e - s)
                     if buf_n >= flush_docs:
                         rb = do_flush()
@@ -372,7 +373,7 @@ def build_posting_blocks_local(
                             yield rb
             else:
                 buf_ids.append(ids)
-                buf_toks.append(toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks)
+                buf_toks.append(texts)
                 buf_n += len(ids)
                 if buf_n >= flush_docs:
                     rb = do_flush()
