@@ -366,6 +366,29 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return _ANN_CACHE[sf_dir].topk(spark, _ann_query_vec(), k=15, n_probes=12)
 
 
+def _q_resize_plan(spark, sf_dir):
+    """Multimodal metadata op (REAL logic, JVM-side): aspect-preserving
+    resize targets over the deterministic media table. The decode-requiring
+    ops (image_features / frame_sample) are rows-only entries — their
+    kernels are clearly-marked deterministic stubs (no PIL/ffmpeg in this
+    container), but the Arrow plumbing is real and pytest-covered."""
+    from engine.multimodal import resize_plan, synthetic_media
+
+    return resize_plan(synthetic_media(spark, 64), max_side=128)
+
+
+def _q_image_features(spark, sf_dir):
+    from engine.multimodal import image_features, synthetic_media
+
+    return image_features(synthetic_media(spark, 64))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from engine.multimodal import frame_sample, synthetic_media
+
+    return frame_sample(synthetic_media(spark, 64), every_ms=500).drop("frame")
+
+
 def _q_filtered_alias(spark, sf_dir):
     """Filtered alias (S11) — the reference's only literal query operator:
     a view restricted by termQuery(field, value)
@@ -426,6 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_ledger": _q_offset_ledger,
         "routed_search": _q_routed_search,
         "multi_index_fanout": _q_multi_index_fanout,
+        "resize_plan": _q_resize_plan,
+        "image_features": _q_image_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -497,6 +523,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum({_DLEN}) AS BIGINT) AS sum_dl
             FROM documents GROUP BY 1
+        """,
+        # resize_plan: the media table is a pure function of the row index,
+        # so the oracle regenerates it in SQL (engine/multimodal.py
+        # synthetic_media) and recomputes the aspect-preserving targets.
+        # image_features / frame_sample: stub-decode kernels -> rows-only.
+        "resize_plan": """
+            WITH m AS (
+              SELECT CAST(i AS BIGINT) AS media_id,
+                     CAST(64 + (i % 7) * 32 AS INT) AS width,
+                     CAST(48 + (i % 5) * 24 AS INT) AS height
+              FROM range(64) t(i)
+            ), s AS (
+              SELECT media_id, width, height,
+                     least(1.0, 128.0 / greatest(width, height)) AS sc
+              FROM m
+            )
+            SELECT media_id, width, height,
+                   CAST(round(width * sc) AS INT) AS target_w,
+                   CAST(round(height * sc) AS INT) AS target_h,
+                   round(sc, 6) AS scale
+            FROM s
         """,
         "offset_ledger": """
             SELECT CAST(event_id % 4 AS INT) AS part_id,

@@ -38,6 +38,7 @@ def main() -> None:
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
         "routed_search", "multi_index_fanout",
+        "resize_plan", "image_features", "frame_sample",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
     timings: dict[str, float] = {}

@@ -59,10 +59,28 @@ class RecordAssigner:
         return out
 
 
-def static_assigner(index_name: str, routing_col: str | None = None) -> RecordAssigner:
+def static_assigner(
+    index_name: str,
+    routing_col: str | None = None,
+    num_shards: int | None = None,
+) -> RecordAssigner:
     """The reference's shipped behavior: a configured index name
     (kafka-es-indexer.properties elasticsearch.index.name) and, optionally,
-    routing by an existing column's value (ES field-value routing)."""
+    routing by an existing column's value (ES field-value routing).
+
+    `num_shards` bounds routing cardinality exactly like ES does
+    (shard = hash(routing) % number_of_shards): pass it when the routing
+    key is high-cardinality (user id, url) so the segment layout stays at
+    num_shards hive partitions instead of one directory per distinct key.
+    Query-side, compute the partition with the same formula
+    (pmod(xxhash64(value), num_shards))."""
+    if routing_col and num_shards:
+        return RecordAssigner(
+            index_name=lambda df: F.lit(index_name),
+            routing=lambda df: F.pmod(
+                F.xxhash64(F.col(routing_col)), F.lit(num_shards)
+            ).cast("string"),
+        )
     return RecordAssigner(
         index_name=lambda df: F.lit(index_name),
         routing=(lambda df: F.col(routing_col)) if routing_col else None,

@@ -28,10 +28,13 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--executor", default="wand", choices=["exact", "wand"])
     ap.add_argument("--conjunctive", action="store_true")
+    ap.add_argument("--routing", default=None,
+                    help="restrict to one routing partition (D9 routed "
+                         "search: pruned scan + shard-local stats)")
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
 
-    from engine.query import IndexReader
+    from engine.query import IndexReader, search_store
     from engine.segments import IndexStore
     from engine.session import get_spark
 
@@ -39,7 +42,7 @@ def main() -> None:
     store = IndexStore(args.index_root, args.index)
     # query-server mode: open the index once (cached postings, resolved
     # stats/live-docs), serve all queries from the held-open reader
-    reader = IndexReader(spark, store)
+    reader = IndexReader(spark, store) if args.routing is None else None
 
     for q in args.query:
         terms = q.split()
@@ -47,7 +50,12 @@ def main() -> None:
         rows = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
-            if args.executor == "wand":
+            if args.routing is not None:
+                rows = search_store(
+                    spark, store, terms, k=args.k,
+                    conjunctive=args.conjunctive, routing=args.routing,
+                ).collect()
+            elif args.executor == "wand":
                 rows = reader.search_wand(terms, k=args.k).collect()
             else:
                 rows = reader.search(
@@ -57,7 +65,8 @@ def main() -> None:
         print(json.dumps({
             "query": terms,
             "k": args.k,
-            "executor": args.executor,
+            "executor": args.executor if args.routing is None else "exact",
+            **({"routing": args.routing} if args.routing is not None else {}),
             "latency_ms_p50": round(statistics.median(lats), 1),
             "results": [(r["doc_id"], r["score"]) for r in rows],
         }))

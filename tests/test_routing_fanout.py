@@ -184,6 +184,42 @@ def test_fanout_search_equals_dedicated_index(spark, src, tmp_path):
     ]
 
 
+def test_fanout_partial_crash_completes_batch(spark, src, tmp_path):
+    """Crash after index A committed but before index B (and before the
+    fanout ledger entry): the re-run re-delivers the SAME window, skips A
+    via has_batch, completes B, then commits the fanout offsets — the
+    reference's commit-offsets-after-all-bulks semantics."""
+    from engine.fanout import fanout_process_window, next_fanout_batch_id
+
+    root = str(tmp_path / "crash")
+    # simulate the partial state: run the batch window against ONLY idx_en
+    # (as if the process died before idx_other's commit)
+    from pyspark.sql import functions as F
+
+    from engine.ingest import process_window
+
+    window = src.where(F.col("row_offset") < 50)
+    en_store = IndexStore(root, "idx_en").create()
+    process_window(spark, en_store, window.where(F.col("lang") == "en"), batch_id=0)
+    assert en_store.has_batch(0)
+    assert fanout_offsets(root) == {}  # no fanout commit yet -> re-delivery
+
+    # restart: loop re-runs batch 0 over the same window
+    results = run_fanout_loop(
+        spark, root, src.where(F.col("row_offset") < 50),
+        rows_per_partition=50, assigner=lang_assigner(),
+    )
+    assert next_fanout_batch_id(root) == 1
+    en = IndexStore(root, "idx_en")
+    other = IndexStore(root, "idx_other")
+    # idx_en was NOT rebuilt (still exactly one ledger entry for batch 0)
+    assert len([e for e in en.ledger_entries() if e.kind == "ingest"]) == 1
+    assert other.exists() and other.docs(spark).count() > 0
+    # no duplicates anywhere
+    urls = [r["url"] for r in en.docs(spark).union(other.docs(spark)).select("url").collect()]
+    assert len(urls) == len(set(urls))
+
+
 def test_static_assigner_matches_reference_default(spark, src):
     out = static_assigner("myindex").assign(src.limit(5))
     rows = out.select("index_name").distinct().collect()
