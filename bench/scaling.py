@@ -367,6 +367,12 @@ brings its own cores and memory bandwidth).
 
 {ceiling_md}
 
+Efficiencies slightly ABOVE 1.0 are an artifact of the environment, not
+magic: the constant external background load (~1-2 runnable threads at
+all times) taxes a 2-core run proportionally far more than an 8-core run,
+and per-stage fixed costs amortize better at higher parallelism. Values
+should be read as "indistinguishable from linear".
+
 Methodology: numbers are best-of-N trials per level, taken PER METRIC
 (docs/sec from the best build trial, each latency cell the minimum over
 all trials — a row is not necessarily one measured run). Levels are

@@ -215,9 +215,12 @@ def test_fanout_partial_crash_completes_batch(spark, src, tmp_path):
     # idx_en was NOT rebuilt (still exactly one ledger entry for batch 0)
     assert len([e for e in en.ledger_entries() if e.kind == "ingest"]) == 1
     assert other.exists() and other.docs(spark).count() > 0
-    # no duplicates anywhere
-    urls = [r["url"] for r in en.docs(spark).union(other.docs(spark)).select("url").collect()]
-    assert len(urls) == len(set(urls))
+    # no duplicates WITHIN an index (indexes are independent doc spaces; the
+    # corpus dup-url pair may legitimately land in both when its two
+    # versions carry different langs -> different index assignments)
+    for st in (en, other):
+        urls = [r["url"] for r in st.docs(spark).select("url").collect()]
+        assert len(urls) == len(set(urls)), st.name
 
 
 def test_static_assigner_matches_reference_default(spark, src):
