@@ -225,11 +225,45 @@ def main() -> None:
     write_report(trials_path, args.out)
 
 
+def _comparable_size(r: dict):
+    """The corpus-size key two trials must share to be folded into one
+    best-of cell: total docs in strong mode, docs-per-core in weak mode."""
+    if "docs" not in r:
+        return None
+    return (r["docs"] // r["cores"]) if r.get("mode") == "weak" else r["docs"]
+
+
 def _best_of(trials: list[dict]) -> tuple[dict, dict]:
-    """Per (mode, cores): best build trial + per-metric min latencies."""
+    """Per (mode, cores): best build trial + per-metric min latencies.
+
+    Only trials at each mode's DOMINANT corpus size are folded — mixing
+    sizes would splice docs/sec from different corpora into one cell and
+    corrupt the efficiency ratios (ADVICE r02)."""
+    import collections
+
+    sizes: collections.Counter = collections.Counter(
+        (r.get("mode", "strong"), _comparable_size(r))
+        for r in trials
+        if _comparable_size(r) is not None
+    )
+    dominant: dict = {}
+    for (m, s), n in sizes.items():
+        if m not in dominant or n > sizes[(m, dominant[m])]:
+            dominant[m] = s
+    kept = [
+        r for r in trials
+        if _comparable_size(r) is None
+        or _comparable_size(r) == dominant.get(r.get("mode", "strong"))
+    ]
+    if len(kept) < len(trials):
+        print(
+            f"_best_of: dropped {len(trials) - len(kept)} off-size trials "
+            f"(dominant sizes per mode: {dominant})",
+            file=sys.stderr,
+        )
     reports: dict = {}
     n_trials: dict = {}
-    for r in trials:
+    for r in kept:
         key = (r.get("mode", "strong"), r["cores"])
         n_trials[key] = n_trials.get(key, 0) + 1
         best = reports.get(key)

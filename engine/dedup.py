@@ -315,15 +315,20 @@ def simhash_near_pairs(
     `fingerprints` (doc_id, simhash) overrides the computed simhash64 —
     the recall-property test seam (planted pairs at exact hamming radii)."""
     sh = fingerprints if fingerprints is not None else simhash64(df, text_col, id_col)
+
+    def _band_key(off: int, w: int):
+        shifted = F.shiftrightunsigned("simhash", off)
+        if w >= 64:
+            # radius 0 => one full-word band; (1<<64)-1 overflows LongType and
+            # the shifted value already IS the whole word — no mask needed
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned("simhash", off)
-                    .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
-                )
+                F.struct(F.lit(i).alias("band"), _band_key(off, w).alias("key"))
                 for i, (off, w) in enumerate(simhash_bands(max_hamming))
             ])
         ).alias("bb"),

@@ -77,6 +77,47 @@ def fanout_offsets(root: str) -> dict[int, int]:
     return hwm
 
 
+def _manifest_path(root: str, batch_id: int) -> str:
+    return os.path.join(root, "_fanout_manifests", f"{batch_id:010d}.json")
+
+
+def write_batch_manifest(
+    root: str, batch_id: int, rows_per_partition: int, hwm: dict
+) -> None:
+    """Record the batch WINDOW BOUNDS before any per-index commit. A re-run
+    after a partial crash re-derives the window from this manifest, not from
+    the caller's current rows_per_partition — otherwise restarting with a
+    larger window would make already-committed indexes silently skip the
+    extra rows while the fanout entry advances past them (ADVICE r02)."""
+    from engine.segments import _atomic_write_json
+
+    _atomic_write_json(
+        _manifest_path(root, batch_id),
+        {
+            "batch_id": batch_id,
+            "rows_per_partition": int(rows_per_partition),
+            "hwm": {str(p): int(o) for p, o in hwm.items()},
+        },
+    )
+
+
+def read_batch_manifest(root: str, batch_id: int) -> dict | None:
+    import json
+
+    p = _manifest_path(root, batch_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def clear_batch_manifest(root: str, batch_id: int) -> None:
+    try:
+        os.remove(_manifest_path(root, batch_id))
+    except FileNotFoundError:
+        pass
+
+
 def discover_indexes(root: str) -> list[str]:
     if not os.path.isdir(root):
         return []
@@ -106,28 +147,60 @@ def fanout_process_window(
 
     Returns {index_name: BatchResult} for indexes that received records.
     """
+    from engine.analysis import with_extracted_text
+
     assigned = assigner.assign(window)
+    results: dict[str, BatchResult] = {}
+
+    # cheap pre-pass (column-pruned: reads only the assignment inputs, never
+    # html): which indexes does this batch touch? A single-index batch skips
+    # staging entirely — the window flows straight into the normal build
+    names = sorted(
+        r[0] for r in assigned.select(INDEX_COL).distinct().collect()
+    )
+    if not names:
+        return results
+    if len(names) == 1:
+        name = names[0]
+        store = IndexStore(root, name, cfg)
+        if not store.exists():
+            store.create()
+        if store.has_batch(batch_id):
+            return results
+        res = process_window(spark, store, assigned.drop(INDEX_COL), batch_id, cfg=cfg)
+        if res is not None:
+            results[name] = res
+        return results
+
     staging = os.path.join(root, "_staging", f"batch-{batch_id:08d}")
     shutil.rmtree(staging, ignore_errors=True)
-    # ONE job stages the whole batch, hive-partitioned by index: each
-    # index's build then reads only its own files (no per-index re-scan of
-    # the source, no shuffle — partitionBy writes are map-side)
-    assigned.write.mode("overwrite").partitionBy(INDEX_COL).parquet(staging)
+    # ONE map-side job extracts AND stages the whole batch, hive-partitioned
+    # by index: each index's build then reads only its own (already
+    # extracted) files. The raw html — the bulk of the batch bytes — is NOT
+    # staged: extraction runs once here instead of once per index, and only
+    # quarantine-bound rows keep their payload (an all-null binary column
+    # costs ~nothing in parquet).
+    ext = with_extracted_text(assigned)
+    stage_df = ext.withColumn(
+        "payload", F.when(F.col("extract_error").isNotNull(), F.col("html"))
+    ).drop("html")
+    stage_df.write.mode("overwrite").partitionBy(INDEX_COL).parquet(staging)
 
-    results: dict[str, BatchResult] = {}
     try:
         prefix = f"{INDEX_COL}="
-        names = sorted(
+        staged = sorted(
             d[len(prefix):] for d in os.listdir(staging) if d.startswith(prefix)
         )
-        for name in names:
+        for name in staged:
             store = IndexStore(root, name, cfg)
             if not store.exists():
                 store.create()
             if store.has_batch(batch_id):
                 continue  # re-run after partial crash: this index is done
             win = spark.read.parquet(os.path.join(staging, f"{prefix}{name}"))
-            res = process_window(spark, store, win, batch_id, cfg=cfg)
+            res = process_window(
+                spark, store, win, batch_id, cfg=cfg, pre_extracted=True
+            )
             if res is not None:
                 results[name] = res
         return results
@@ -150,8 +223,19 @@ def run_fanout_loop(
     per-index ledgers each iteration."""
     out: list[dict[str, BatchResult]] = []
     while max_batches is None or len(out) < max_batches:
-        hwm = fanout_offsets(root)
         batch_id = next_fanout_batch_id(root)
+        # window bounds come from the batch manifest when one exists (a
+        # re-run after a partial crash MUST replay the exact crashed window,
+        # whatever rows_per_partition the caller passes now); a fresh batch
+        # records its bounds before any per-index commit can land
+        man = read_batch_manifest(root, batch_id)
+        if man is not None:
+            hwm = {int(p): int(o) for p, o in man["hwm"].items()}
+            rpp = int(man["rows_per_partition"])
+        else:
+            hwm = fanout_offsets(root)
+            rpp = rows_per_partition
+            write_batch_manifest(root, batch_id, rpp, hwm)
         hwm_df = spark.createDataFrame(
             [(int(p), int(o)) for p, o in hwm.items()] or [(-1, -1)],
             "part_id int, committed long",
@@ -162,7 +246,7 @@ def run_fanout_loop(
                 (F.col("row_offset") > F.coalesce(F.col("committed"), F.lit(-1)))
                 & (
                     F.col("row_offset")
-                    <= F.coalesce(F.col("committed"), F.lit(-1)) + rows_per_partition
+                    <= F.coalesce(F.col("committed"), F.lit(-1)) + rpp
                 )
             )
             .drop("committed")
@@ -177,9 +261,14 @@ def run_fanout_loop(
                     for p, o in e.partition_offsets.items():
                         offs[p] = max(offs.get(p, -1), int(o))
         if not offs:
-            break  # empty window everywhere: source drained (S6)
+            # empty window everywhere: source drained (S6). Drop the
+            # manifest so a later restart (source grown, new window size)
+            # is not pinned to this empty batch's recorded bounds.
+            clear_batch_manifest(root, batch_id)
+            break
         # commit-after-ALL-success: the fanout entry lands only here
         commit_fanout_entry(root, batch_id, offs)
+        clear_batch_manifest(root, batch_id)
         if res:
             out.append(res)
     return out

@@ -129,12 +129,18 @@ def process_window(
     cfg: IndexConfig = DEFAULT_CONFIG,
     fail_before_commit: bool = False,
     extra_metrics: dict | None = None,
+    pre_extracted: bool = False,
 ) -> BatchResult | None:
     """Build + commit one segment from an already-sliced page window.
 
     Shared by the batch loop (ingest_batch) and the Structured Streaming
     twin (engine.streaming.stream_ingest's foreachBatch body): the window is
-    whatever the slicer handed us — an offset window or a stream micro-batch."""
+    whatever the slicer handed us — an offset window or a stream micro-batch.
+
+    `pre_extracted`: the window already carries extracted_text/extract_error/
+    n_tokens (and a `payload` column holding the raw bytes of failed rows
+    only) — the fanout staging path, which extracts ONCE for the whole batch
+    instead of once per index."""
     t0 = time.monotonic()
     stage_t: dict[str, float] = {}
 
@@ -148,7 +154,10 @@ def process_window(
     # the bulk of the bytes and only the (rare) quarantine path wants them;
     # keeping them out of the cache roughly halves per-batch storage and the
     # columnar-compression CPU spent building it
-    ext = with_extracted_text(window).drop("html").cache()
+    if pre_extracted:
+        ext = window.drop("payload").cache()
+    else:
+        ext = with_extracted_text(window).drop("html").cache()
     # ONE action serves as the empty-batch check (S6), the offset scan (S3)
     # and the failure count (S13) — per-batch fixed job count matters when
     # the loop runs thousands of micro-batches
@@ -174,18 +183,25 @@ def process_window(
             # quarantine side-output (S13): offset + error + payload. The
             # payload (raw html) is re-read from the source window via a
             # broadcast join on the failed keys — failures are rare, so the
-            # hot path never caches the blobs
-            failed_keys = ext.where(F.col("extract_error").isNotNull()).select(
-                "url", "part_id", "row_offset", "extract_error"
-            )
-            (
-                window.select(
-                    "url", "part_id", "row_offset", F.col("html").alias("payload")
+            # hot path never caches the blobs. Pre-extracted windows carry
+            # failed rows' payloads in their own column already.
+            if pre_extracted:
+                quarantine_df = window.where(
+                    F.col("extract_error").isNotNull()
+                ).select("url", "part_id", "row_offset", "extract_error", "payload")
+            else:
+                failed_keys = ext.where(F.col("extract_error").isNotNull()).select(
+                    "url", "part_id", "row_offset", "extract_error"
                 )
-                .join(F.broadcast(failed_keys), ["url", "part_id", "row_offset"])
-                .select("url", "part_id", "row_offset", "extract_error", "payload")
-                .write.mode("overwrite")
-                .parquet(os.path.join(store.path, "quarantine", segment_id))
+                quarantine_df = (
+                    window.select(
+                        "url", "part_id", "row_offset", F.col("html").alias("payload")
+                    )
+                    .join(F.broadcast(failed_keys), ["url", "part_id", "row_offset"])
+                    .select("url", "part_id", "row_offset", "extract_error", "payload")
+                )
+            quarantine_df.write.mode("overwrite").parquet(
+                os.path.join(store.path, "quarantine", segment_id)
             )
 
         good = ext.where(F.col("extract_error").isNull()).drop("extract_error")

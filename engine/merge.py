@@ -94,7 +94,9 @@ def merge_segments(
                 r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
                 for r in rs
             }
-        store.write_segment(out_id, blocks, live, stats)
+        # merged segment gets the globally range-partitioned layout — it is
+        # the long-lived segment queries hit; micro-ingest segments skip it
+        store.write_segment(out_id, blocks, live, stats, ranged=True)
         store.commit(
             LedgerEntry(
                 entry_id=entry_id,

