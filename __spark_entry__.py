@@ -214,6 +214,26 @@ def _q_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_alias_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-driven SEARCH with routing (reference
+    addAliasWithRoutingToExistingIndex, ElasticSearchClientService.java:
+    135-138): the alias carries routing='en' (prunes the search to the en
+    partition, shard-local stats) AND a term filter part_id=1 (non-scoring
+    result restriction). Rank-identical to scoring the en subset and
+    keeping only part_id=1 docs."""
+    from engine.query import search_via_alias
+
+    store = _shared_store(spark, sf_dir)
+    store.add_alias("en_part1", filter_col="part_id", filter_val=1, routing="en")
+    hits = search_via_alias(spark, store, "en_part1", FLAGSHIP_TERMS, k=20)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
 def _q_multi_index_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D11 multi-index fan-out: one ingest loop writes TWO indexes in one
     pass (per-batch partitionBy(index_name) staging, per-index segment
@@ -448,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_alias_view": _q_filtered_alias,
         "offset_ledger": _q_offset_ledger,
         "routed_search": _q_routed_search,
+        "alias_routed_search": _q_alias_routed_search,
         "multi_index_fanout": _q_multi_index_fanout,
         "resize_plan": _q_resize_plan,
         "image_features": _q_image_features,
@@ -517,6 +538,14 @@ def oracle_sql() -> dict[str, str]:
         "routed_search": bm25_topk_oracle_sql(
             FLAGSHIP_TERMS, k=20,
             table="(SELECT * FROM documents WHERE lang = 'en') AS routed",
+        ),
+        # alias routing='en' -> shard-local stats over the en subset;
+        # alias filter part_id=1 -> non-scoring doc restriction
+        # (part_id = doc_id % 4, engine/ingest.py as_partitioned_source)
+        "alias_routed_search": bm25_topk_oracle_sql(
+            FLAGSHIP_TERMS, k=20,
+            table="(SELECT * FROM documents WHERE lang = 'en') AS routed",
+            doc_filter="doc_id % 4 = 1",
         ),
         "multi_index_fanout": f"""
             SELECT CASE WHEN lang = 'en' THEN 'idx_en' ELSE 'idx_other' END AS index_name,

@@ -42,6 +42,16 @@ LATEST = "LATEST"
 RESTART = "RESTART"
 
 
+class FatalIngestError(Exception):
+    """Non-recoverable failure (reference IndexerESNotRecoverableException,
+    ElasticSearchBatchService.java:93-129 rethrow path consumed at
+    ConsumerWorker.java:145-156): the loop aborts immediately, no retry.
+    Any OTHER exception from a batch is treated as recoverable (the
+    IndexerESRecoverableException analog) and the batch is retried a
+    bounded number of times — safe because the ledger is untouched until
+    commit and the deterministic re-run overwrites the orphan segment."""
+
+
 def as_partitioned_source(pages: DataFrame, num_partitions: int, id_col: str = "row_id") -> DataFrame:
     """Give a corpus table Kafka-like lineage: (part_id, row_offset).
 
@@ -328,6 +338,8 @@ def run_ingest_loop(
     max_batches: int | None = None,
     cfg: IndexConfig = DEFAULT_CONFIG,
     stop_requested=None,
+    max_retries: int = 2,
+    retry_wait_sec: float = 0.0,
 ) -> list[BatchResult]:
     """The poll loop (ConsumerWorker.run): ingest windows until the source is
     drained (or max_batches). Each iteration re-reads committed offsets, so a
@@ -336,7 +348,15 @@ def run_ingest_loop(
     `stop_requested` (E3 graceful shutdown): zero-arg callable checked
     BETWEEN batches — the in-flight batch always finishes and commits, then
     the loop drains (the reference's ConsumerManager stop semantics:
-    shutdown drains workers, ConsumerManager.java:118-142)."""
+    shutdown drains workers, ConsumerManager.java:118-142).
+
+    Error taxonomy (E2, ElasticSearchBatchService.java:93-129 +
+    ConsumerWorker.java:130-156): a failed batch is RETRIED in-loop up to
+    `max_retries` times (after `retry_wait_sec`, the reference's
+    reconnect-wait) — the ledger is untouched by the failure, so the re-run
+    deterministically rebuilds the same window. FatalIngestError, or
+    exhausting the retries, propagates: the caller exits nonzero with the
+    ledger clean (resume-safe)."""
     results: list[BatchResult] = []
     while max_batches is None or len(results) < max_batches:
         if stop_requested is not None and stop_requested():
@@ -345,9 +365,21 @@ def run_ingest_loop(
         # after the first batch we always follow the ledger
         start_option, custom_offsets = RESTART, None
         batch_id = store.next_entry_id()
-        res = ingest_batch(
-            spark, store, source, batch_id, hwm, rows_per_partition, cfg
-        )
+        attempts = 0
+        while True:
+            try:
+                res = ingest_batch(
+                    spark, store, source, batch_id, hwm, rows_per_partition, cfg
+                )
+                break
+            except FatalIngestError:
+                raise
+            except Exception:
+                attempts += 1
+                if attempts > max_retries:
+                    raise  # bounded retries exhausted -> fatal (E2)
+                if retry_wait_sec:
+                    time.sleep(retry_wait_sec)
         if res is None:
             break
         results.append(res)

@@ -290,7 +290,7 @@ def build_posting_blocks_local(
     flush_docs: int = 25_000,
     routing_col: str | None = None,
 ) -> DataFrame:
-    """Shuffle-free posting build: the production path for the ingest loop.
+    r"""Shuffle-free posting build: the production path for the ingest loop.
 
     Key insight: term frequency is a PER-DOCUMENT computation — a doc's
     tokens all live in its own row, so tf needs no explode and no

@@ -235,6 +235,56 @@ def search_store(
     )
 
 
+def search_via_alias(
+    spark: SparkSession,
+    store,
+    alias: str,
+    query_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """BM25 top-k through an alias: the alias's ROUTING value prunes the
+    search to one routing partition (shard-local stats, like search_store's
+    `routing`) and its term FILTER restricts which documents may appear in
+    results — the reference's addAliasWithRoutingToExistingIndex(index,
+    alias, routing, field=value) applied to a search request
+    (ElasticSearchClientService.java:135-138).
+
+    ES semantics mirrored exactly: the filter is a non-scoring restriction
+    (df/n_docs/avgdl stay the searched partition's own stats; a filtered
+    alias does not re-weight IDF), so the filter lands on the LIVE-DOCS
+    side, never on the stats."""
+    from engine.merge import live_doc_ids
+
+    spec = store.alias_spec(alias)
+    routing = spec.get("routing")
+    if routing is not None:
+        stats = store.routing_global_stats(routing)
+        postings = store.postings_routed(spark, routing)
+        docs = store.docs_routed(spark, routing)
+    else:
+        stats = store.global_stats()
+        postings = store.postings(spark)
+        docs = store.docs(spark)
+    restrict = live_doc_ids(docs) if len(store.live_segments()) > 1 else None
+    if spec.get("filter_col") is not None:
+        base = restrict if restrict is not None else docs
+        restrict = base.where(
+            F.col(spec["filter_col"]) == F.lit(spec["filter_val"])
+        )
+    return bm25_topk_from_index(
+        postings,
+        stats["n_docs"],
+        stats["avgdl"],
+        query_terms,
+        k=k,
+        cfg=cfg,
+        conjunctive=conjunctive,
+        live_docs=restrict,
+    )
+
+
 class IndexReader:
     """Query-server view of a persisted index: the index is opened ONCE
     (postings/docs cached, stats + per-term df and the deleted-doc set
@@ -360,10 +410,15 @@ def bm25_topk_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     conjunctive: bool = False,
+    doc_filter: str | None = None,
 ) -> str:
+    """`doc_filter`: SQL predicate over doc_id restricting which docs may
+    appear in results WITHOUT changing df/avgdl/n_docs (the filtered-alias
+    search semantics: a non-scoring filter)."""
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
     n_terms = len(set(query_terms))
     having = f"HAVING count(*) = {n_terms}" if conjunctive else ""
+    where_docs = f"WHERE {doc_filter}" if doc_filter else ""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
@@ -390,6 +445,7 @@ WITH toks AS (
   JOIN dfreq USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
+  {where_docs}
   GROUP BY tf.doc_id
   {having}
 )

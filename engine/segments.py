@@ -366,20 +366,37 @@ class IndexStore:
             return json.load(f)
 
     def add_alias(
-        self, alias: str, filter_col: str | None = None, filter_val=None
+        self, alias: str, filter_col: str | None = None, filter_val=None,
+        routing: str | None = None,
     ) -> None:
         """Plain alias (S10) or filtered alias (S11 — the reference's only
-        literal query operator: termQuery(field, value) restriction,
-        ElasticSearchClientService.java:135-138)."""
+        literal query operator: termQuery(field, value) restriction), with an
+        optional ROUTING value: the reference's
+        addAliasWithRoutingToExistingIndex(index, alias, routing, field=value)
+        (ElasticSearchClientService.java:135-138) attaches BOTH a routing
+        value and a term filter to every request through the alias."""
         a = self._aliases()
-        a[alias] = {"filter_col": filter_col, "filter_val": filter_val}
+        a[alias] = {
+            "filter_col": filter_col, "filter_val": filter_val,
+            "routing": routing,
+        }
         _atomic_write_json(os.path.join(self.path, "_aliases.json"), a)
+
+    def alias_spec(self, alias: str) -> dict:
+        spec = self._aliases()[alias]
+        spec.setdefault("routing", None)  # aliases written before the slot
+        return spec
 
     def docs_via_alias(self, spark: SparkSession, alias: str) -> DataFrame:
         """Alias read = view with the filter predicate; Catalyst pushes the
-        equality down to the parquet scan (partition/row-group pruning)."""
-        spec = self._aliases()[alias]
-        df = self.docs(spark)
+        equality down to the parquet scan (partition/row-group pruning). An
+        alias routing value prunes the scan to that routing partition first."""
+        spec = self.alias_spec(alias)
+        df = (
+            self.docs_routed(spark, spec["routing"])
+            if spec["routing"] is not None
+            else self.docs(spark)
+        )
         if spec["filter_col"] is not None:
             df = df.where(F.col(spec["filter_col"]) == F.lit(spec["filter_val"]))
         return df

@@ -1,0 +1,99 @@
+"""Index lifecycle admin CLI (reference S7-S11 admin surface).
+
+Mirrors ElasticSearchClientService's index admin API
+(/root/reference/src/main/java/org/elasticsearch/kafka/indexer/service/
+ElasticSearchClientService.java:115-138: createIndex, deleteIndex,
+addAliasToExistingIndex, addAliasWithRoutingToExistingIndex) as spark-free
+subcommands over the on-disk store:
+
+    python jobs/index_admin.py create  --index-root R --index web
+    python jobs/index_admin.py delete  --index-root R --index web
+    python jobs/index_admin.py alias   --index-root R --index web \
+        --alias en_docs [--filter lang=en] [--routing en]
+    python jobs/index_admin.py list    --index-root R
+    python jobs/index_admin.py stats   --index-root R --index web
+
+Everything prints one JSON line (script-friendly, like the build job).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p, need_index=True):
+        p.add_argument("--index-root", required=True)
+        if need_index:
+            p.add_argument("--index", required=True)
+
+    add_common(sub.add_parser("create"))
+    add_common(sub.add_parser("delete"))
+    pa = sub.add_parser("alias")
+    add_common(pa)
+    pa.add_argument("--alias", required=True)
+    pa.add_argument("--filter", default=None, help="col=value term filter (S11)")
+    pa.add_argument("--routing", default=None,
+                    help="routing value applied to requests through the alias")
+    add_common(sub.add_parser("list"), need_index=False)
+    add_common(sub.add_parser("stats"))
+    args = ap.parse_args(argv)
+
+    from engine.fanout import discover_indexes
+    from engine.segments import IndexStore
+
+    if args.cmd == "list":
+        print(json.dumps({"indexes": discover_indexes(args.index_root)}))
+        return 0
+
+    store = IndexStore(args.index_root, args.index)
+    if args.cmd == "create":
+        if store.exists():
+            # reference createIndex is a no-op guard on existing index
+            print(json.dumps({"index": args.index, "created": False,
+                              "reason": "exists"}))
+            return 0
+        store.create()
+        print(json.dumps({"index": args.index, "created": True}))
+        return 0
+
+    if not store.exists():
+        print(json.dumps({"error": f"index {args.index} does not exist"}))
+        return 1
+
+    if args.cmd == "delete":
+        store.delete()
+        print(json.dumps({"index": args.index, "deleted": True}))
+        return 0
+    if args.cmd == "alias":
+        col, val = None, None
+        if args.filter:
+            col, _, val = args.filter.partition("=")
+        store.add_alias(args.alias, filter_col=col, filter_val=val,
+                        routing=args.routing)
+        print(json.dumps({"index": args.index, "alias": args.alias,
+                          "filter_col": col, "filter_val": val,
+                          "routing": args.routing}))
+        return 0
+    if args.cmd == "stats":
+        print(json.dumps({
+            "index": args.index,
+            "live_segments": store.live_segments(),
+            "global_stats": store.global_stats() if store.live_segments() else None,
+            "committed_offsets": store.committed_offsets(),
+            "aliases": store._aliases(),
+        }))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
