@@ -553,10 +553,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum({_DLEN}) AS BIGINT) AS sum_dl
             FROM documents GROUP BY 1
         """,
-        # resize_plan: the media table is a pure function of the row index,
-        # so the oracle regenerates it in SQL (engine/multimodal.py
-        # synthetic_media) and recomputes the aspect-preserving targets.
-        # image_features / frame_sample: stub-decode kernels -> rows-only.
+        # resize_plan / image_features / frame_sample: the media table is a
+        # pure function of the row index, so the oracles regenerate it in
+        # SQL (engine/multimodal.py synthetic_media) and recompute each op.
+        # image_features' stub luma = mean of the payload's uint8 bytes; the
+        # payload is '%08d' % i repeated, and repetition preserves the mean,
+        # so the oracle averages the 8 digit ASCII codes. The decode kernel
+        # stays a clearly-marked stub — the oracle certifies the Arrow
+        # plumbing + error isolation end-to-end.
+        "image_features": """
+            WITH m AS (
+              SELECT CAST(i AS BIGINT) AS media_id, CAST(i % 3 AS INT) AS mt,
+                     printf('%08d', i) AS s
+              FROM range(64) t(i)
+            )
+            SELECT media_id,
+                   CASE WHEN mt < 2 THEN 3 END AS channels,
+                   CASE WHEN mt < 2 THEN round((
+                     ascii(substr(s,1,1))+ascii(substr(s,2,1))+ascii(substr(s,3,1))+ascii(substr(s,4,1))+
+                     ascii(substr(s,5,1))+ascii(substr(s,6,1))+ascii(substr(s,7,1))+ascii(substr(s,8,1))
+                   )/8.0, 4) END AS mean_luma,
+                   CASE WHEN mt = 2 THEN 'not an image: video/mp4' END AS error
+            FROM m
+        """,
+        "frame_sample": """
+            WITH m AS (
+              SELECT CAST(i AS BIGINT) AS media_id, 1000 + i*40 AS dur
+              FROM range(64) t(i) WHERE i % 3 = 2
+            )
+            SELECT media_id, CAST(x AS INT) AS frame_idx, CAST(x*500 AS INT) AS ts_ms
+            FROM m, LATERAL (SELECT unnest(range(0, (dur + 499) // 500)) AS x) f
+        """,
         "resize_plan": """
             WITH m AS (
               SELECT CAST(i AS BIGINT) AS media_id,

@@ -37,7 +37,7 @@ def main() -> None:
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
-        "routed_search", "multi_index_fanout",
+        "routed_search", "alias_routed_search", "multi_index_fanout",
         "resize_plan", "image_features", "frame_sample",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
