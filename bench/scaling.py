@@ -233,11 +233,9 @@ def _comparable_size(r: dict):
     return (r["docs"] // r["cores"]) if r.get("mode") == "weak" else r["docs"]
 
 
-def _best_of(trials: list[dict]) -> tuple[dict, dict]:
-    """Per (mode, cores): best build trial + per-metric min latencies.
-
-    Only trials at each mode's DOMINANT corpus size are folded — mixing
-    sizes would splice docs/sec from different corpora into one cell and
+def _kept_trials(trials: list[dict]) -> list[dict]:
+    """Trials at each mode's DOMINANT corpus size — mixing sizes would
+    splice docs/sec from different corpora into one best-of cell and
     corrupt the efficiency ratios (ADVICE r02)."""
     import collections
 
@@ -257,10 +255,16 @@ def _best_of(trials: list[dict]) -> tuple[dict, dict]:
     ]
     if len(kept) < len(trials):
         print(
-            f"_best_of: dropped {len(trials) - len(kept)} off-size trials "
+            f"_kept_trials: dropped {len(trials) - len(kept)} off-size trials "
             f"(dominant sizes per mode: {dominant})",
             file=sys.stderr,
         )
+    return kept
+
+
+def _best_of(trials: list[dict]) -> tuple[dict, dict]:
+    """Per (mode, cores): best build trial + per-metric min latencies."""
+    kept = _kept_trials(trials)
     reports: dict = {}
     n_trials: dict = {}
     for r in kept:
@@ -335,6 +339,21 @@ def write_report(trials_path: str, out: str) -> None:
     counts = collections.defaultdict(dict)
     for (m, c), n in n_trials.items():
         counts[m][str(c)] = n
+
+    # per-trial table: every kept trial as one measured row, so the best-of
+    # summary above can be audited — no cell in THIS table mixes trials
+    kept = _kept_trials(trials)
+    trial_rows = "\n".join(
+        f"| {r.get('mode', 'strong')} | {r['cores']} | {r['n_docs']:,} "
+        f"| {r['build_sec']} | {r['docs_per_sec']:,} "
+        f"| {r['q_exact_p50_ms']} | {r['q_exact_p99_ms']} "
+        f"| {r['q_wand_p50_ms']} | {r['q_wand_p99_ms']} "
+        f"| {r.get('load1_before', '—')} | {r.get('load1_after', '—')} |"
+        for r in kept
+    )
+    trial_table = f"""| mode | cores | docs | build s | docs/s | exact p50 | exact p99 | WAND p50 | WAND p99 | load1 pre | load1 post |
+|---|---|---|---|---|---|---|---|---|---|---|
+{trial_rows}"""
 
     # hardware ceiling (tools/cpu_ceiling.py): the VM's measured parallel
     # capacity bounds ANY job's strong-scaling efficiency between levels
@@ -433,12 +452,21 @@ should be read as "indistinguishable from linear".
 
 Methodology: numbers are best-of-N trials per level, taken PER METRIC
 (docs/sec from the best build trial, each latency cell the minimum over
-all trials — a row is not necessarily one measured run). Levels are
-interleaved within a trial so external VM noise (observed up to 3x between
-identical runs) hits both levels alike. Minimum wall time is the standard
-estimator of true cost under external interference.
+all trials — a row is not necessarily one measured run; the per-trial
+table below has the unspliced rows). Levels are interleaved within a
+trial so external VM noise (observed up to 3x between identical runs)
+hits both levels alike. Minimum wall time is the standard estimator of
+true cost under external interference.
 
 Trials per level: `{json.dumps(counts)}`
+
+## Per-trial measurements (unspliced)
+
+Every trial folded into the best-of cells above, one measured run per
+row (chronological). load1 pre/post bracket each run: post >> the run's
+own thread count flags external noisy-neighbor interference.
+
+{trial_table}
 
 Raw best-of: `{json.dumps({f"{m}/{c}": r for (m, c), r in reports.items()})}`
 """)

@@ -24,6 +24,10 @@ from engine.config import DEFAULT_CONFIG, IndexConfig
 from engine.postings import build_posting_blocks, decode_postings
 from engine.segments import IndexStore, LedgerEntry
 
+# largest superseded-doc set expunged via broadcast anti-join; beyond this
+# (an update-heavy merge) fall back to a shuffled semi-join against live ids
+BROADCAST_DEAD_MAX = 2_000_000
+
 
 def live_doc_ids(docs_df):
     """Latest doc per url: rank by (warc_ts desc, doc_id desc) — newest
@@ -58,13 +62,42 @@ def merge_segments(
     routed = "routing" in docs.columns
     live = live_doc_ids(docs).cache()
     try:
-        postings_long = decode_postings(store.postings(spark, inputs))
-        # expunge superseded docs' postings (dl already travels in the
-        # blocks); routed merges re-attach each doc's routing so the merged
-        # blocks stay routing-pure (partitionBy survives the merge)
+        # ONE action for total + per-routing stats (rollup), mirroring the
+        # ingest path — per-merge fixed job count matters when the tiered
+        # policy runs merges continuously alongside the ingest loop
+        stat_rows = (
+            live.rollup(*(["routing"] if routed else []))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+            .collect()
+        )
         if routed:
+            total = [r for r in stat_rows if r["routing"] is None][0]
+        else:
+            total = stat_rows[0]
+        n_docs, sum_dl = int(total["n"]), int(total["s"] or 0)
+
+        # expunge superseded docs' postings. The superseded (dead) set is
+        # input_docs - live_docs — bounded by the UPDATE rate, not corpus
+        # size, so the common shapes are: nothing to expunge (pure-append
+        # ingest: skip the join entirely) or a small dead set (broadcast
+        # anti-join — the posting stream never shuffles for the expunge).
+        # Only a merge where a large fraction of docs were superseded pays
+        # a shuffled semi-join against the live set. dl travels in the
+        # blocks; routed blocks are routing-pure, so decode replicates
+        # `routing` per posting and no join is needed to recover it.
+        n_input_docs = sum(int(store.segment_stats(s)["n_docs"]) for s in inputs)
+        n_dead = n_input_docs - n_docs
+        postings_long = decode_postings(
+            store.postings(spark, inputs), keep_cols=("routing",) if routed else ()
+        )
+        if n_dead == 0:
+            merged_tf_dl = postings_long
+        elif n_dead <= BROADCAST_DEAD_MAX:
+            dead = docs.select("doc_id").join(
+                live.select("doc_id"), "doc_id", "left_anti"
+            )
             merged_tf_dl = postings_long.join(
-                live.select("doc_id", "routing"), "doc_id"
+                F.broadcast(dead), "doc_id", "left_anti"
             )
         else:
             merged_tf_dl = postings_long.join(
@@ -73,26 +106,19 @@ def merge_segments(
 
         hwm = store.next_doc_id_base()
         blocks = build_posting_blocks(merged_tf_dl, max(hwm, 1), cfg)
-
-        n_docs = live.count()
-        sum_dl = live.agg(F.sum("doc_len")).collect()[0][0] or 0
         stats = {
             "segment_id": out_id,
             "base_doc_id": 0,
             "doc_id_hwm": hwm,
-            "n_docs": int(n_docs),
-            "sum_dl": int(sum_dl),
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
             "merged_from": inputs,
         }
         if routed:
-            rs = (
-                live.groupBy("routing")
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
-                .collect()
-            )
             stats["routing_stats"] = {
                 r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
-                for r in rs
+                for r in stat_rows
+                if r["routing"] is not None
             }
         # merged segment gets the globally range-partitioned layout — it is
         # the long-lived segment queries hit; micro-ingest segments skip it

@@ -459,32 +459,43 @@ def term_stats(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
 
 
-def decode_postings(postings: DataFrame) -> DataFrame:
-    """Block rows -> long form (term, doc_id, tf, dl); vectorized decode."""
+def decode_postings(postings: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Block rows -> long form (term, doc_id, tf, dl); vectorized decode.
+
+    `keep_cols`: block-level string columns (e.g. `routing`) replicated onto
+    every decoded posting — blocks are routing-pure, so the value is exact
+    and the merge path needs no join back to the doc table to recover it."""
+    keep = tuple(keep_cols)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {"term": [], "doc_id": [], "tf": [], "dl": []}
+        empty.update({k: [] for k in keep})
         for b in batches:
             terms, docs, tfs, dls = [], [], [], []
-            for t, db, tb, lb in zip(
-                b["term"], b["doc_bytes"], b["tf_bytes"], b["dl_bytes"]
+            extras: dict[str, list] = {k: [] for k in keep}
+            for i, (t, db, tb, lb) in enumerate(
+                zip(b["term"], b["doc_bytes"], b["tf_bytes"], b["dl_bytes"])
             ):
                 d, f_ = decode_posting_block(bytes(db), bytes(tb))
                 docs.append(d)
                 tfs.append(f_)
                 dls.append(varint_decode(bytes(lb)).astype(np.int64))
                 terms.append(np.full(len(d), t, dtype=object))
+                for k in keep:
+                    extras[k].append(np.full(len(d), b[k].iloc[i], dtype=object))
             if not terms:
-                yield pd.DataFrame({"term": [], "doc_id": [], "tf": [], "dl": []})
+                yield pd.DataFrame(empty)
                 continue
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(docs),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                }
-            )
+            out = {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+                "tf": np.concatenate(tfs),
+                "dl": np.concatenate(dls),
+            }
+            out.update({k: np.concatenate(extras[k]) for k in keep})
+            yield pd.DataFrame(out)
 
-    return postings.mapInPandas(
-        dec, schema="term string, doc_id long, tf long, dl long"
+    schema = "term string, doc_id long, tf long, dl long" + "".join(
+        f", {k} string" for k in keep
     )
+    return postings.mapInPandas(dec, schema=schema)
