@@ -1,0 +1,131 @@
+"""Large-corpus soak: ingest -> tiered merge -> WAND query, at >=1M docs.
+
+Evidence that the tiered merge policy and the routed/ranged segment layout
+hold an order of magnitude beyond the sf0.1 driver bench (VERDICT r02 item
+9): the ingest loop runs many micro-batches with `maybe_merge` interleaved
+after every batch (the long-running-consumer shape — merges fire whenever a
+size tier fills), then query latency is measured on the store the soak
+actually produced (multiple live segments of mixed tiers, not a
+single-segment ideal).
+
+Usage:
+    python bench/soak.py [--docs 1000000] [--cores 32] [--batches 16]
+                         [--merge-factor 8] [--out BENCH/soak.jsonl]
+
+Appends one JSON line with build/merge/query numbers to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench.scaling import QUERY_SET, ensure_corpus  # noqa: E402
+
+SOURCE_PARTITIONS = 64
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument("--merge-factor", type=int, default=8)
+    ap.add_argument("--out", default="BENCH/soak.jsonl")
+    ap.add_argument("--routing", default=None,
+                    help="optional routing column (e.g. lang) for a routed soak")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from engine.config import IndexConfig
+    from engine.ingest import (
+        EARLIEST, as_partitioned_source, ingest_batch, resolve_start_offsets,
+    )
+    from engine.merge import maybe_merge
+    from engine.query import IndexReader
+    from engine.segments import IndexStore
+    from engine.session import get_spark
+
+    spark = get_spark(f"soak-{args.docs}", cores=args.cores,
+                      shuffle_partitions=args.cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = spark.read.parquet(ensure_corpus(args.docs))
+    source = as_partitioned_source(corpus, num_partitions=SOURCE_PARTITIONS)
+
+    root = "/tmp/engine_bench/soak"
+    shutil.rmtree(root, ignore_errors=True)
+    store = IndexStore(root, "soak").create()
+    cfg = IndexConfig(docid_strategy="range", routing_col=args.routing)
+
+    rows_per_partition = max(1, -(-args.docs // (SOURCE_PARTITIONS * args.batches)))
+
+    t0 = time.perf_counter()
+    total_docs, n_batches, n_merges, merge_sec = 0, 0, 0, 0.0
+    hwm = resolve_start_offsets(store, source, EARLIEST)
+    while True:
+        batch_id = store.next_entry_id()
+        res = ingest_batch(spark, store, source, batch_id, hwm,
+                           rows_per_partition, cfg=cfg)
+        if res is None:
+            break
+        hwm = store.committed_offsets()
+        total_docs += res.n_docs
+        n_batches += 1
+        mt = time.perf_counter()
+        if maybe_merge(spark, store, merge_factor=args.merge_factor, cfg=cfg):
+            n_merges += 1
+        merge_sec += time.perf_counter() - mt
+        print(f"batch {n_batches}: {total_docs:,} docs, "
+              f"{len(store.live_segments())} live segments, "
+              f"{n_merges} merges, {time.perf_counter() - t0:.0f}s elapsed",
+              file=sys.stderr, flush=True)
+    build_sec = time.perf_counter() - t0
+
+    reader = IndexReader(spark, store)
+    reader.search(["warmup"], k=1).collect()
+    lat_exact, lat_wand = [], []
+    for terms, k in QUERY_SET:
+        t = time.perf_counter()
+        reader.search(terms, k=k).collect()
+        lat_exact.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        reader.search_wand(terms, k=k).collect()
+        lat_wand.append(time.perf_counter() - t)
+
+    def pct(xs, p):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(round(p * (len(xs) - 1))))]
+
+    row = {
+        "kind": "soak",
+        "cores": args.cores,
+        "n_docs": total_docs,
+        "n_batches": n_batches,
+        "n_merges": n_merges,
+        "live_segments": len(store.live_segments()),
+        "build_sec": round(build_sec, 2),
+        "merge_sec": round(merge_sec, 2),
+        "docs_per_sec": round(total_docs / build_sec, 1),
+        "q_exact_p50_ms": round(statistics.median(lat_exact) * 1000, 1),
+        "q_exact_p99_ms": round(pct(lat_exact, 0.99) * 1000, 1),
+        "q_wand_p50_ms": round(statistics.median(lat_wand) * 1000, 1),
+        "q_wand_p99_ms": round(pct(lat_wand, 0.99) * 1000, 1),
+        "load1_after": round(os.getloadavg()[0], 2),
+        "routing": args.routing,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

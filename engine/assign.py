@@ -25,6 +25,13 @@ this module is the placement half:
                    placement; segments are hive-partitioned by this value,
                    queries with routing prune to those files)
   - doc id      -> engine.docids (dense deterministic ids per index)
+
+`indexType` (the 4th slot of addEventToBulkRequest,
+ElasticSearchBatchService.java:57) has NO analog here by design: mapping
+types were deprecated in ES 6 and removed in ES 8 — one index holds one
+document shape. A user who relied on types maps each type to its own
+index_name expression (the fan-out path above), which is exactly the
+migration ES itself prescribed.
 """
 
 from __future__ import annotations

@@ -72,7 +72,34 @@ class IndexConfig:
     # Shuffle parallelism hint for index-build jobs (None = session default)
     shuffle_partitions: int | None = None
 
+    # Data-dependent partition sizing. A fixed repartitionByRange(N) with
+    # N = defaultParallelism gives a 1,000-doc micro-batch the same 32-way
+    # fan-out (and 32 x routing-values output files) as a 10M-doc bulk load
+    # — per-task scheduling and tiny-file overhead then dominate the batch
+    # (the 8->32 strong-scaling residual, VERDICT r02 item 3). The build
+    # fan-out is therefore sized from measured data:
+    #   n = min(ceil(data / task_floor), max(cores, ceil(data / part_cap)))
+    # i.e. a tiny batch collapses to a few tasks (>= task_floor rows each),
+    # a medium batch uses every core, and a bulk load grows past the core
+    # count so no partition exceeds the per-task cap. Ingest sizes by batch
+    # rows; merge sizes by the merged token count (known from stats).
+    rows_per_id_partition: int = 25_000     # cap: docs per ingest partition
+    id_task_floor_rows: int = 1_000         # floor: docs that justify a task
+    postings_per_merge_partition: int = 2_000_000  # cap: postings per merge task
+    merge_task_floor_postings: int = 100_000       # floor for a merge task
+
     extra: dict = field(default_factory=dict)
 
 
 DEFAULT_CONFIG = IndexConfig()
+
+
+def plan_fanout(n_units: int, floor: int, cap: int, cores: int) -> int:
+    """Partition count for `n_units` of work (docs, postings, ...):
+    min(ceil(n/floor), max(cores, ceil(n/cap))) clamped to >= 1.
+
+    - tiny input  -> ceil(n/floor) tasks (each worth scheduling),
+    - medium      -> every core busy,
+    - bulk        -> grows past the core count so no partition holds more
+                     than `cap` units (memory / file-size bound)."""
+    return max(1, min(-(-n_units // floor), max(cores, -(-n_units // cap))))

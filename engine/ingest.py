@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.analysis import with_extracted_text
-from engine.config import DEFAULT_CONFIG, IndexConfig
+from engine.config import DEFAULT_CONFIG, IndexConfig, plan_fanout
 from engine.docids import assign_doc_ids, dedup_last_write_wins
 from engine.postings import build_posting_blocks_local
 from engine.segments import IndexStore, LedgerEntry
@@ -175,6 +175,7 @@ def process_window(
         ext.groupBy("part_id")
         .agg(
             F.max("row_offset").alias("m"),
+            F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("extract_error").isNotNull().cast("long")).alias("nf"),
         )
         .collect()
@@ -184,6 +185,15 @@ def process_window(
         ext.unpersist()
         return None
     offs = {str(r["part_id"]): r["m"] for r in offs_rows}
+    n_window_rows = int(sum(r["cnt"] for r in offs_rows))
+    # size the doc-id / block-build fan-out from the batch's measured rows:
+    # tiny batches collapse to a few tasks (no per-batch 32-way shuffle +
+    # file explosion), medium batches use every core, bulk windows grow
+    # past the core count so no partition exceeds rows_per_id_partition
+    n_parts = plan_fanout(
+        n_window_rows, cfg.id_task_floor_rows, cfg.rows_per_id_partition,
+        spark.sparkContext.defaultParallelism,
+    )
     docs_ided = None
     persisted: list = []
     try:
@@ -226,7 +236,7 @@ def process_window(
         base = store.next_doc_id_base()
         docs_ided = assign_doc_ids(
             good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy,
-            cleanup=persisted,
+            num_partitions=n_parts, cleanup=persisted,
         ).cache()
 
         # doc_len came out of the extract UDF's single Python regex pass
@@ -266,6 +276,7 @@ def process_window(
         # only compressed blocks reach the segment-write shuffle
         blocks = build_posting_blocks_local(
             docs_ided, cfg, text_col="extracted_text",
+            num_partitions=n_parts,
             routing_col=cfg.routing_col if routed else None,
         )
         written = store.write_segment(

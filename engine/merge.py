@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from engine.config import DEFAULT_CONFIG, IndexConfig
+from engine.config import DEFAULT_CONFIG, IndexConfig, plan_fanout
 from engine.postings import build_posting_blocks, decode_postings
 from engine.segments import IndexStore, LedgerEntry
 
@@ -105,7 +105,18 @@ def merge_segments(
             )
 
         hwm = store.next_doc_id_base()
-        blocks = build_posting_blocks(merged_tf_dl, max(hwm, 1), cfg)
+        # size the re-encode fan-out from the merged token count (sum_dl is
+        # an upper bound on posting rows): a small-tier merge collapses to a
+        # few tasks, a big merge uses every core and grows past the core
+        # count so no partition exceeds postings_per_merge_partition
+        n_parts = plan_fanout(
+            sum_dl, cfg.merge_task_floor_postings,
+            cfg.postings_per_merge_partition,
+            spark.sparkContext.defaultParallelism,
+        )
+        blocks = build_posting_blocks(
+            merged_tf_dl, max(hwm, 1), cfg, num_partitions=n_parts
+        )
         stats = {
             "segment_id": out_id,
             "base_doc_id": 0,
