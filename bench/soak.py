@@ -53,11 +53,15 @@ def main() -> None:
     from engine.segments import IndexStore
     from engine.session import get_spark
 
+    # ensure_corpus runs (and stops) its own generation session — call it
+    # BEFORE creating the soak session (getOrCreate would hand it ours)
+    corpus_path = ensure_corpus(args.docs)
+
     spark = get_spark(f"soak-{args.docs}", cores=args.cores,
                       shuffle_partitions=args.cores * 2)
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = spark.read.parquet(ensure_corpus(args.docs))
+    corpus = spark.read.parquet(corpus_path)
     source = as_partitioned_source(corpus, num_partitions=SOURCE_PARTITIONS)
 
     root = "/tmp/engine_bench/soak"

@@ -31,10 +31,15 @@ def main() -> None:
     ap.add_argument("--routing", default=None,
                     help="restrict to one routing partition (D9 routed "
                          "search: pruned scan + shard-local stats)")
+    ap.add_argument("--alias", default=None,
+                    help="search through a (filtered/routed) alias (S11): "
+                         "the alias's routing value prunes the scan and its "
+                         "term filter restricts results, like the "
+                         "reference's addAliasWithRoutingToExistingIndex")
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
 
-    from engine.query import IndexReader, search_store
+    from engine.query import IndexReader, search_store, search_via_alias
     from engine.segments import IndexStore
     from engine.session import get_spark
 
@@ -42,7 +47,8 @@ def main() -> None:
     store = IndexStore(args.index_root, args.index)
     # query-server mode: open the index once (cached postings, resolved
     # stats/live-docs), serve all queries from the held-open reader
-    reader = IndexReader(spark, store) if args.routing is None else None
+    direct = args.routing is None and args.alias is None
+    reader = IndexReader(spark, store) if direct else None
 
     for q in args.query:
         terms = q.split()
@@ -50,7 +56,12 @@ def main() -> None:
         rows = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
-            if args.routing is not None:
+            if args.alias is not None:
+                rows = search_via_alias(
+                    spark, store, args.alias, terms, k=args.k,
+                    conjunctive=args.conjunctive,
+                ).collect()
+            elif args.routing is not None:
                 rows = search_store(
                     spark, store, terms, k=args.k,
                     conjunctive=args.conjunctive, routing=args.routing,
@@ -65,8 +76,9 @@ def main() -> None:
         print(json.dumps({
             "query": terms,
             "k": args.k,
-            "executor": args.executor if args.routing is None else "exact",
+            "executor": args.executor if direct else "exact",
             **({"routing": args.routing} if args.routing is not None else {}),
+            **({"alias": args.alias} if args.alias is not None else {}),
             "latency_ms_p50": round(statistics.median(lats), 1),
             "results": [(r["doc_id"], r["score"]) for r in rows],
         }))
