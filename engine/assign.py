@@ -92,3 +92,22 @@ def static_assigner(
         index_name=lambda df: F.lit(index_name),
         routing=(lambda df: F.col(routing_col)) if routing_col else None,
     )
+
+
+def routing_for(spark, value, num_shards: int, dtype: str | None = None) -> str:
+    """Query-side half of `static_assigner(num_shards=...)`: the routing
+    partition a raw key was placed in — pmod(xxhash64(value), num_shards),
+    evaluated by the SAME JVM expression the write path used (no Python
+    reimplementation to drift). Mirrors the ES client hashing the routing
+    value for you (ElasticSearchClientService.java:140-146): users query by
+    raw key, never by shard number.
+
+    `dtype`: cast the literal to the indexed column's Spark type when it
+    was non-string (xxhash64 is type-sensitive; a long column's values must
+    be hashed as longs). One driver-local 1-row job, milliseconds.
+    """
+    lit = F.lit(value)
+    if dtype is not None:
+        lit = lit.cast(dtype)
+    expr = F.pmod(F.xxhash64(lit), F.lit(num_shards)).cast("string")
+    return spark.range(1).select(expr.alias("r")).first()["r"]

@@ -96,3 +96,41 @@ def decode_posting_block(docs_bytes: bytes, tfs_bytes: bytes) -> tuple[np.ndarra
     return delta_decode(varint_decode(docs_bytes)), varint_decode(tfs_bytes).astype(
         np.int64
     )
+
+
+def decode_posting_blocks_batch(
+    doc_bufs, tf_bufs, dl_bufs, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks in one vectorized pass.
+
+    Varint is self-delimiting, so the per-block buffers concatenate into one
+    stream that decodes to the concatenated values; `ns` (postings per block)
+    then segments the flat arrays. Doc ids come from a segmented cumsum over
+    the per-block-restarted deltas: global cumsum minus the cumsum value at
+    each block's start (the block's first delta is the absolute first doc id,
+    mirroring `_encode_term_major`). Replaces a per-block Python loop with
+    ~6 numpy passes over the whole batch — the decode half of the encoder's
+    `varint_encode_with_lengths` single-buffer design.
+
+    Returns (doc_ids int64, tfs int64, dls int64), each of length ns.sum().
+    """
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    deltas = varint_decode(b"".join(doc_bufs)).astype(np.int64)
+    tfs = varint_decode(b"".join(tf_bufs)).astype(np.int64)
+    dls = varint_decode(b"".join(dl_bufs)).astype(np.int64)
+    if not (len(deltas) == len(tfs) == len(dls) == total):
+        raise ValueError(
+            f"posting block corruption: n says {total} postings, decoded "
+            f"{len(deltas)}/{len(tfs)}/{len(dls)}"
+        )
+    if total == 0:
+        return deltas, tfs, dls
+    csum = np.cumsum(deltas)
+    starts = np.empty(len(ns), dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(ns[:-1], out=starts[1:])
+    prev = np.zeros(len(ns), dtype=np.int64)
+    prev[1:] = csum[starts[1:] - 1]
+    docs = csum - np.repeat(prev, ns)
+    return docs, tfs, dls

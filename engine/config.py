@@ -87,6 +87,12 @@ class IndexConfig:
     id_task_floor_rows: int = 1_000         # floor: docs that justify a task
     postings_per_merge_partition: int = 2_000_000  # cap: postings per merge task
     merge_task_floor_postings: int = 100_000       # floor for a merge task
+    # WAND doc-id range count is derived from doc_id_hwm with the same
+    # formula (was a fixed 32): a 5k-doc store scans in a few tasks instead
+    # of 32 near-empty Python groups; a 10^12-doc store fans out so every
+    # range spans at most docs_per_wand_range ids.
+    docs_per_wand_range: int = 50_000       # cap: doc-id span per WAND task
+    wand_range_floor_docs: int = 2_000      # floor: doc span worth a task
 
     extra: dict = field(default_factory=dict)
 

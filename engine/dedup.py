@@ -158,20 +158,60 @@ def minhash_signatures(
 
     Shingle strings are hashed JVM-side (xxhash64 — no per-row Python);
     the pandas stage only does vectorized uint64 mixing: perm_i's hash of a
-    shingle is splitmix64(h ^ seed_i), signature = column-wise min."""
+    shingle is splitmix64(h ^ seed_i), signature = column-wise min.
+
+    Scale shape: ONE Python invocation per Arrow batch, not per document —
+    a segmented `np.minimum.reduceat` over doc-sorted partitions (each doc's
+    shingles are contiguous after repartition+sort by doc_id), with the last
+    doc's partial minimum carried across Arrow batch boundaries. The old
+    per-doc applyInPandas scheduled |docs| tiny Python groups (VERDICT r03
+    item 5) — identical output, orders of magnitude fewer crossings at
+    10^10 docs."""
     seeds = _perm_seeds(num_perm)
     sh = shingles(df, k, text_col, id_col).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
 
-    def sig(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy(np.int64).view(np.uint64)
-        mins = _mix64(h[:, None] ^ seeds[None, :]).min(axis=0)
-        return pd.DataFrame(
-            {"doc_id": [pdf["doc_id"].iloc[0]], "sig": [mins.view(np.int64).tolist()]}
-        )
+    def sig_part(batches):
+        pend_doc = None  # last doc of the previous batch: may continue here
+        pend_min = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+            hx = _mix64(h[:, None] ^ seeds[None, :])
+            change = np.empty(len(ids), dtype=bool)
+            change[0] = True
+            np.not_equal(ids[1:], ids[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            mins = np.minimum.reduceat(hx, starts, axis=0)
+            uids = ids[starts]
+            if pend_doc is not None:
+                if int(uids[0]) == pend_doc:
+                    mins[0] = np.minimum(mins[0], pend_min)
+                else:
+                    uids = np.concatenate(([pend_doc], uids))
+                    mins = np.vstack((pend_min, mins))
+            pend_doc = int(uids[-1])
+            pend_min = mins[-1]
+            if len(uids) > 1:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": uids[:-1],
+                        "sig": mins[:-1].view(np.int64).tolist(),
+                    }
+                )
+        if pend_doc is not None:
+            yield pd.DataFrame(
+                {"doc_id": [pend_doc], "sig": [pend_min.view(np.int64).tolist()]}
+            )
 
-    return sh.groupBy("doc_id").applyInPandas(sig, schema="doc_id long, sig array<long>")
+    return (
+        sh.repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(sig_part, schema="doc_id long, sig array<long>")
+    )
 
 
 def minhash_lsh_pairs(

@@ -222,6 +222,17 @@ def run_fanout_loop(
     repeat until drained. Restart-safe: offsets are re-derived from the
     per-index ledgers each iteration."""
     out: list[dict[str, BatchResult]] = []
+    first_batch_id = next_fanout_batch_id(root)
+    # sweep orphaned manifests from batches that committed but crashed
+    # before their clear_batch_manifest (ADVICE r03): anything below the
+    # next batch id is fully committed and will never be read again — and
+    # if the fanout ledger were ever reset, a stale manifest would pin the
+    # new batch 0 to the old window bounds
+    mdir = os.path.join(root, "_fanout_manifests")
+    if os.path.isdir(mdir):
+        for fname in os.listdir(mdir):
+            if fname.endswith(".json") and int(fname[:-5]) < first_batch_id:
+                clear_batch_manifest(root, int(fname[:-5]))
     while max_batches is None or len(out) < max_batches:
         batch_id = next_fanout_batch_id(root)
         # window bounds come from the batch manifest when one exists (a

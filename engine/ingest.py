@@ -24,6 +24,7 @@ comes from segment_id = f(batch_id) and deterministic doc-id assignment.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -40,6 +41,7 @@ from engine.segments import IndexStore, LedgerEntry
 EARLIEST = "EARLIEST"
 LATEST = "LATEST"
 RESTART = "RESTART"
+CUSTOM = "CUSTOM"
 
 
 class FatalIngestError(Exception):
@@ -90,9 +92,91 @@ def resolve_start_offsets(
     if start_option == LATEST:
         rows = source.groupBy("part_id").agg(F.max("row_offset").alias("m")).collect()
         return {r["part_id"]: r["m"] for r in rows}
-    if start_option == "CUSTOM":
+    if start_option == CUSTOM:
         return dict(custom or {})
     raise ValueError(f"unknown start option: {start_option}")
+
+
+def parse_start_options_file(
+    path: str | None,
+) -> tuple[tuple[str, int], dict[int, tuple[str, int]]]:
+    """Parse the reference's per-partition start-options config file (S2;
+    ConsumerStartOption.java:31-89 + kafka-es-indexer-start-options.config):
+    one `default|<partition>:<EARLIEST|LATEST|RESTART|CUSTOM>[:<offset>]`
+    per line, '#' comments and blank lines skipped. A missing/absent file or
+    a file without a `default` line falls back to RESTART (the reference's
+    warn-and-default). Returns ((default_option, default_offset),
+    {partition: (option, offset)}); offset is meaningful for CUSTOM only
+    and means "start reading AT this offset" (seek semantics)."""
+    default: tuple[str, int] = (RESTART, 0)
+    per: dict[int, tuple[str, int]] = {}
+    if not path or not os.path.exists(path):
+        if path:
+            logging.getLogger(__name__).warning(
+                "start options file %r not found; using RESTART", path
+            )
+        return default, per
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(":")
+            if len(parts) < 2:
+                raise ValueError(f"bad start option line: {line!r}")
+            opt = parts[1].strip().upper()
+            if opt not in (EARLIEST, LATEST, RESTART, CUSTOM):
+                raise ValueError(f"unknown start option in line: {line!r}")
+            off = 0
+            if opt == CUSTOM:
+                if len(parts) != 3:
+                    raise ValueError(f"CUSTOM needs an offset: {line!r}")
+                off = int(parts[2])
+            if parts[0].strip().lower() == "default":
+                default = (opt, off)
+            else:
+                per[int(parts[0])] = (opt, off)
+    return default, per
+
+
+def resolve_start_offsets_per_partition(
+    store: IndexStore,
+    source: DataFrame,
+    default: tuple[str, int],
+    per_partition: dict[int, tuple[str, int]],
+) -> dict[int, int]:
+    """Mixed per-partition start options -> one high-water-mark dict.
+
+    hwm semantics: "last consumed offset" (reads start at hwm+1), so the
+    reference's CUSTOM `seek(offset)` maps to hwm = offset - 1; EARLIEST
+    omits the partition (start at 0); RESTART takes the ledger's value;
+    LATEST takes the partition's current max offset (one source scan, only
+    when some option actually asks for LATEST)."""
+    d_opt, _ = default
+    ledger = store.committed_offsets()
+    need_latest = d_opt == LATEST or any(
+        o == LATEST for o, _ in per_partition.values()
+    )
+    latest: dict[int, int] = {}
+    if need_latest:
+        rows = (
+            source.groupBy("part_id").agg(F.max("row_offset").alias("m")).collect()
+        )
+        latest = {int(r["part_id"]): int(r["m"]) for r in rows}
+    hwm: dict[int, int] = {}
+    for p in {int(k) for k in ledger} | set(latest) | set(per_partition):
+        opt, off = per_partition.get(p, default)
+        if opt == RESTART:
+            v = ledger.get(p)
+        elif opt == LATEST:
+            v = latest.get(p)
+        elif opt == CUSTOM:
+            v = off - 1
+        else:  # EARLIEST: absent -> start at offset 0
+            v = None
+        if v is not None:
+            hwm[p] = int(v)
+    return hwm
 
 
 def ingest_batch(
@@ -389,6 +473,13 @@ def run_ingest_loop(
                 attempts += 1
                 if attempts > max_retries:
                     raise  # bounded retries exhausted -> fatal (E2)
+                # surface the swallowed error: a DETERMINISTIC failure
+                # (schema mismatch, missing column) rebuilds the same window
+                # max_retries+1 times and would otherwise look like a hang
+                logging.getLogger(__name__).warning(
+                    "batch %d failed (attempt %d/%d), retrying",
+                    batch_id, attempts, max_retries, exc_info=True,
+                )
                 if retry_wait_sec:
                     time.sleep(retry_wait_sec)
         if res is None:

@@ -61,6 +61,7 @@ def merge_segments(
     docs = store.docs(spark, inputs)
     routed = "routing" in docs.columns
     live = live_doc_ids(docs).cache()
+    merged_tf_dl = None
     try:
         # ONE action for total + per-routing stats (rollup), mirroring the
         # ingest path — per-merge fixed job count matters when the tiered
@@ -114,6 +115,15 @@ def merge_segments(
             cfg.postings_per_merge_partition,
             spark.sparkContext.defaultParallelism,
         )
+        # persist BEFORE the builder's range exchange: repartitionByRange
+        # samples its input to pick boundaries, which would execute the
+        # decode+expunge upstream a second time (ADVICE r03). The sampling
+        # job populates the cache; the real exchange reads it back. Size is
+        # bounded by the merge tier (O(merge_factor * tier tokens)), spills
+        # to disk, and is released right after the segment write.
+        from pyspark import StorageLevel
+
+        merged_tf_dl = merged_tf_dl.persist(StorageLevel.MEMORY_AND_DISK)
         blocks = build_posting_blocks(
             merged_tf_dl, max(hwm, 1), cfg, num_partitions=n_parts
         )
@@ -146,6 +156,8 @@ def merge_segments(
         return out_id
     finally:
         live.unpersist()
+        if merged_tf_dl is not None:
+            merged_tf_dl.unpersist()
 
 
 def select_merge_tier(store: IndexStore, merge_factor: int = 8) -> list[str] | None:

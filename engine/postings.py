@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.analysis import tokens
-from engine.codecs import decode_posting_block, varint_decode
+from engine.codecs import decode_posting_blocks_batch
 from engine.config import DEFAULT_CONFIG, IndexConfig
 
 POSTINGS_SCHEMA = (
@@ -471,28 +471,23 @@ def decode_postings(postings: DataFrame, keep_cols: tuple[str, ...] = ()) -> Dat
         empty = {"term": [], "doc_id": [], "tf": [], "dl": []}
         empty.update({k: [] for k in keep})
         for b in batches:
-            terms, docs, tfs, dls = [], [], [], []
-            extras: dict[str, list] = {k: [] for k in keep}
-            for i, (t, db, tb, lb) in enumerate(
-                zip(b["term"], b["doc_bytes"], b["tf_bytes"], b["dl_bytes"])
-            ):
-                d, f_ = decode_posting_block(bytes(db), bytes(tb))
-                docs.append(d)
-                tfs.append(f_)
-                dls.append(varint_decode(bytes(lb)).astype(np.int64))
-                terms.append(np.full(len(d), t, dtype=object))
-                for k in keep:
-                    extras[k].append(np.full(len(d), b[k].iloc[i], dtype=object))
-            if not terms:
+            if len(b) == 0:
                 yield pd.DataFrame(empty)
                 continue
+            # one vectorized pass over ALL blocks in the Arrow batch: the
+            # buffers concatenate (varint is self-delimiting), `n` segments
+            # the flat decode, np.repeat replicates the block-level columns
+            ns = b["n"].to_numpy().astype(np.int64)
+            docs, tfs, dls = decode_posting_blocks_batch(
+                b["doc_bytes"], b["tf_bytes"], b["dl_bytes"], ns
+            )
             out = {
-                "term": np.concatenate(terms),
-                "doc_id": np.concatenate(docs),
-                "tf": np.concatenate(tfs),
-                "dl": np.concatenate(dls),
+                "term": np.repeat(b["term"].to_numpy(), ns),
+                "doc_id": docs,
+                "tf": tfs,
+                "dl": dls,
             }
-            out.update({k: np.concatenate(extras[k]) for k in keep})
+            out.update({k: np.repeat(b[k].to_numpy(), ns) for k in keep})
             yield pd.DataFrame(out)
 
     schema = "term string, doc_id long, tf long, dl long" + "".join(

@@ -194,6 +194,8 @@ def search_store(
     cfg: IndexConfig = DEFAULT_CONFIG,
     conjunctive: bool = False,
     routing: str | None = None,
+    routing_key=None,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over a persisted multi-segment index (engine.segments).
 
@@ -210,9 +212,22 @@ def search_store(
     query_then_fetch search does: it scores on the routed shard's stats).
     df(t) likewise comes from the pruned blocks (bm25_topk_from_index
     derives it from the candidate set), so it is the partition-local df.
+
+    `routing_key` + `num_shards`: query by the RAW key a
+    `static_assigner(num_shards=...)` store was placed with — the shard is
+    derived via `routing_for` (same JVM hash as the write path), mirroring
+    ES client-side routing (the user never computes shard numbers).
     """
     from engine.merge import live_doc_ids
 
+    if routing_key is not None:
+        if routing is not None:
+            raise ValueError("pass either routing or routing_key, not both")
+        if not num_shards:
+            raise ValueError("routing_key requires num_shards")
+        from engine.assign import routing_for
+
+        routing = routing_for(spark, routing_key, num_shards)
     if routing is not None:
         stats = store.routing_global_stats(routing)
         postings = store.postings_routed(spark, routing)

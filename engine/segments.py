@@ -166,45 +166,26 @@ class IndexStore:
         throughput at 10^12-doc scale). Term-sorted files still give
         `WHERE term IN (...)` row-group skipping within every file.
 
-        `ranged=True` (merge output — the big long-lived segment): a global
-        repartitionByRange(term, min_doc) collapses each term's blocks to
-        one contiguous file range, the layout queries on the merged index
-        deserve. Ranging on (term, min_doc) — not term alone — splits a hot
-        term's many blocks across partitions instead of melting one reducer.
-        Routed segments (D9) are additionally hive-partitioned by routing:
-        a routed query's scan touches ONLY that routing value's files.
+        `ranged=True` (merge output — the big long-lived segment): the
+        global range layout — each term's blocks collapsed to one contiguous
+        file range — is GUARANTEED BY THE CALLER: `build_posting_blocks`
+        already range-exchanged the long-form postings on
+        (routing?, term, doc_id) before encoding, so its block output is
+        globally range-partitioned and intra-partition ordered. The flag is
+        a contract marker, not a shuffle: re-ranging the blocks here would
+        repeat a sampling job + a full block shuffle for a layout the input
+        already has (ADVICE r03). Routed segments (D9) are additionally
+        hive-partitioned by routing: a routed query's scan touches ONLY
+        that routing value's files.
         """
         sp = self.segment_path(segment_id)
         spark = postings.sparkSession
         routed = "routing" in postings.columns
         sort_cols = (["routing"] if routed else []) + ["term", "min_doc"]
-        if ranged:
-            # materialize the (expensive) build exactly ONCE before the
-            # ranged write: repartitionByRange SAMPLES its input to pick
-            # boundaries, which would execute the whole upstream build a
-            # second time. persist(MEMORY_AND_DISK) holds only compressed
-            # blocks (~100x smaller than the token stream) and is released
-            # below — no storage accumulation across batches.
-            from pyspark import StorageLevel
-
-            blocks_mat = postings.persist(StorageLevel.MEMORY_AND_DISK)
-            blocks_mat.count()
-            try:
-                writer = (
-                    blocks_mat.repartitionByRange(*[F.col(c) for c in sort_cols])
-                    .sortWithinPartitions(*sort_cols)
-                    .write.mode("overwrite")
-                )
-                if routed:
-                    writer = writer.partitionBy("routing")
-                writer.parquet(os.path.join(sp, "postings"))
-            finally:
-                blocks_mat.unpersist()
-        else:
-            writer = postings.sortWithinPartitions(*sort_cols).write.mode("overwrite")
-            if routed:
-                writer = writer.partitionBy("routing")
-            writer.parquet(os.path.join(sp, "postings"))
+        writer = postings.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+        if routed:
+            writer = writer.partitionBy("routing")
+        writer.parquet(os.path.join(sp, "postings"))
         written = self._read_parquet(spark, os.path.join(sp, "postings"))
         from engine.postings import term_stats as _ts
 

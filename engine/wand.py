@@ -40,9 +40,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.codecs import decode_posting_block, varint_decode
-from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS, IndexConfig
+from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS, IndexConfig, plan_fanout
 
 _EPS = 1e-9
+# The heap ranks by the ROUNDED score (the engine's result order is
+# round(score, SCORE_DECIMALS) desc, doc_id asc — raw-score ranking can
+# evict the wrong member of a rounded tie at the k-th rank). Pruning must
+# then keep any window whose raw upper bound could still ROUND UP into a
+# tie with θ: margin = half the rounding quantum.
+_PRUNE_MARGIN = 0.5 * 10**-SCORE_DECIMALS + _EPS
 
 
 def _idf(n_docs: float, df: float) -> float:
@@ -82,8 +88,8 @@ def _scan_partition(
         act = np.nonzero((mins <= w_hi) & (maxs >= w_lo))[0]
         if act.size == 0:
             continue
-        if len(heap) >= k and float(ubs[act].sum()) < heap[0][0] - _EPS:
-            continue  # no doc in this window can enter the top-k
+        if len(heap) >= k and float(ubs[act].sum()) < heap[0][0] - _PRUNE_MARGIN:
+            continue  # no doc in this window can even tie into the top-k
 
         ids_parts, sc_parts = [], []
         for i in act:
@@ -113,7 +119,7 @@ def _scan_partition(
         tot = np.zeros(len(uids))
         np.add.at(tot, inv, scs)
         for doc, s in zip(uids, tot):
-            cand = (float(s), -int(doc))
+            cand = (round(float(s), SCORE_DECIMALS), -int(doc))
             if len(heap) < k:
                 heapq.heappush(heap, cand)
             elif cand > heap[0]:
@@ -137,7 +143,7 @@ def wand_topk(
     query_terms: list[str],
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
     doc_id_hwm: int | None = None,
     excluded_doc_ids: frozenset | None = None,
 ) -> DataFrame:
@@ -148,12 +154,23 @@ def wand_topk(
     `excluded_doc_ids`: superseded docs to skip (Lucene live-docs analog;
     see search_store_wand). Rank-identical to the exact path (tested) but
     decodes only the blocks that can still enter the top-k.
+
+    `num_ranges` (None = derive from data): doc-id ranges are sized from
+    doc_id_hwm via plan_fanout — a small store scans in a handful of tasks,
+    a huge one fans out so each range spans <= cfg.docs_per_wand_range ids.
+    The range partition of a doc is doc // width, so the count only shapes
+    parallelism, never results (unit-tested).
     """
     q_terms = sorted(set(query_terms))
     excluded = excluded_doc_ids or None
     idf_map = {t: _idf(float(n_docs), float(df_by_term.get(t, 0))) for t in q_terms}
     hwm = doc_id_hwm if doc_id_hwm is not None else n_docs
     hwm = max(hwm, 1)
+    if num_ranges is None:
+        num_ranges = plan_fanout(
+            hwm, cfg.wand_range_floor_docs, cfg.docs_per_wand_range,
+            spark.sparkContext.defaultParallelism,
+        )
 
     cand = postings.where(F.col("term").isin(q_terms))
     # fixed-width doc-id ranges: partition(doc) = doc // width — pure integer
@@ -191,7 +208,7 @@ def search_store_wand(
     query_terms: list[str],
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Block-max WAND top-k over a persisted index (engine.segments).
 

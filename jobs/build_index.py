@@ -35,8 +35,12 @@ def main() -> None:
                     choices=["RESTART", "EARLIEST", "LATEST", "CUSTOM"])
     ap.add_argument("--offsets", default=None,
                     help="CUSTOM start offsets 'part:off,part:off,...' "
-                         "(reference ConsumerStartOption.java:31-89 per-"
-                         "partition config file)")
+                         "(inline; values are last-consumed offsets)")
+    ap.add_argument("--start-options-file", default=None,
+                    help="per-partition start options in the reference's "
+                         "config-file format (ConsumerStartOption.java:31-89"
+                         "): 'default|<part>:<OPTION>[:<offset>]' per line; "
+                         "overrides --start/--offsets")
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--merge-factor", type=int, default=0,
                     help="merge all live segments when count reaches this (0=never)")
@@ -75,7 +79,16 @@ def main() -> None:
     signal.signal(signal.SIGINT, _stop)
 
     custom = None
-    if args.start == "CUSTOM":
+    if args.start_options_file:
+        from engine.ingest import (
+            parse_start_options_file,
+            resolve_start_offsets_per_partition,
+        )
+
+        default, per = parse_start_options_file(args.start_options_file)
+        custom = resolve_start_offsets_per_partition(store, source, default, per)
+        args.start = "CUSTOM"
+    elif args.start == "CUSTOM":
         custom = {
             int(p): int(o)
             for p, o in (kv.split(":") for kv in (args.offsets or "").split(",") if kv)

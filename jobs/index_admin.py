@@ -76,7 +76,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "alias":
         col, val = None, None
         if args.filter:
-            col, _, val = args.filter.partition("=")
+            col, _, raw = args.filter.partition("=")
+            # type the value like add_alias callers do (a numeric filter
+            # stored as "1" would lean on implicit casts at query time)
+            val: object = raw
+            for cast in (int, float):
+                try:
+                    val = cast(raw)
+                    break
+                except ValueError:
+                    pass
         store.add_alias(args.alias, filter_col=col, filter_val=val,
                         routing=args.routing)
         print(json.dumps({"index": args.index, "alias": args.alias,

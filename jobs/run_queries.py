@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--routing", default=None,
                     help="restrict to one routing partition (D9 routed "
                          "search: pruned scan + shard-local stats)")
+    ap.add_argument("--routing-key", default=None,
+                    help="raw routing KEY for a store placed with "
+                         "static_assigner(num_shards=...): the shard is "
+                         "derived with the same hash the write path used "
+                         "(ES client-side routing); requires --num-shards")
+    ap.add_argument("--num-shards", type=int, default=None)
     ap.add_argument("--alias", default=None,
                     help="search through a (filtered/routed) alias (S11): "
                          "the alias's routing value prunes the scan and its "
@@ -45,6 +51,14 @@ def main() -> None:
 
     spark = get_spark(f"query-{args.index}")
     store = IndexStore(args.index_root, args.index)
+    if args.routing_key is not None:
+        from engine.assign import routing_for
+
+        if args.routing is not None:
+            ap.error("pass either --routing or --routing-key, not both")
+        if not args.num_shards:
+            ap.error("--routing-key requires --num-shards")
+        args.routing = routing_for(spark, args.routing_key, args.num_shards)
     # query-server mode: open the index once (cached postings, resolved
     # stats/live-docs), serve all queries from the held-open reader
     direct = args.routing is None and args.alias is None

@@ -9,6 +9,7 @@ from hypothesis import strategies as st
 
 from engine.codecs import (
     decode_posting_block,
+    decode_posting_blocks_batch,
     delta_decode,
     delta_encode,
     encode_posting_block,
@@ -66,6 +67,56 @@ def test_block_roundtrip(pairs):
     d2, t2 = decode_posting_block(db, tb)
     assert d2.tolist() == docs.tolist()
     assert t2.tolist() == tfs.tolist()
+
+
+@given(
+    st.lists(  # several blocks, each a sorted unique (doc, tf) list
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**40),
+                st.integers(min_value=1, max_value=10_000),
+            ),
+            min_size=1,
+            max_size=64,
+        ),
+        min_size=0,
+        max_size=32,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_batch_block_decode_matches_per_block(blocks):
+    doc_bufs, tf_bufs, dl_bufs, ns = [], [], [], []
+    want_docs, want_tfs, want_dls = [], [], []
+    rng = np.random.default_rng(7)
+    for pairs in blocks:
+        pairs = sorted({d: t for d, t in pairs}.items())
+        docs = np.array([d for d, _ in pairs], dtype=np.int64)
+        tfs = np.array([t for _, t in pairs], dtype=np.int64)
+        dls = rng.integers(1, 5000, size=len(docs)).astype(np.uint64)
+        db, tb = encode_posting_block(docs, tfs)
+        doc_bufs.append(db)
+        tf_bufs.append(tb)
+        dl_bufs.append(varint_encode(dls))
+        ns.append(len(docs))
+        want_docs.append(docs)
+        want_tfs.append(tfs)
+        want_dls.append(dls.astype(np.int64))
+    d, t, l = decode_posting_blocks_batch(
+        doc_bufs, tf_bufs, dl_bufs, np.array(ns, dtype=np.int64)
+    )
+    cat = lambda xs: np.concatenate(xs).tolist() if xs else []
+    assert d.tolist() == cat(want_docs)
+    assert t.tolist() == cat(want_tfs)
+    assert l.tolist() == cat(want_dls)
+
+
+def test_batch_block_decode_detects_count_mismatch():
+    db, tb = encode_posting_block(
+        np.array([1, 5, 9], dtype=np.int64), np.array([1, 2, 3], dtype=np.int64)
+    )
+    lb = varint_encode(np.array([10, 11, 12], dtype=np.uint64))
+    with pytest.raises(ValueError, match="corruption"):
+        decode_posting_blocks_batch([db], [tb], [lb], np.array([2], dtype=np.int64))
 
 
 def test_compression_is_compact():
