@@ -91,6 +91,102 @@ def assign_doc_ids(
     )
 
 
+def dedup_assign_ids_ranged(
+    df: DataFrame,
+    base: int = 0,
+    num_partitions: int | None = None,
+    key: str = "url",
+    version_col: str = "warc_ts",
+    group_cols: tuple[str, ...] = (),
+    agg_exprs: tuple | None = None,
+    cleanup: list | None = None,
+):
+    """Fused dedup + dense doc-id assignment + batch stats: the micro-ingest
+    hot path. ONE range exchange on `key` does triple duty —
+
+    1. dedup: the range partitioner assigns rows by key VALUE, so equal keys
+       always co-locate and last-write-wins (max `version_col` per key) is a
+       partition-local window (WindowGroupLimit; Catalyst reuses the range
+       partitioning — no second exchange, verified in the executed plan);
+    2. ids: partitions are contiguous key ranges, so
+       doc_id = driver-prefix-sum base of the partition + the row's position
+       in the partition's key-sorted order — identical to the global dense
+       rank over (key, version_col) that assign_doc_ids produces (tested);
+    3. stats: the SAME collect that freezes the prefix sums returns
+       per-(_pid, *group_cols) aggregates (count + `agg_exprs`), so the
+       caller's batch stats (n_docs / sum_dl / per-routing rollup) cost zero
+       extra Spark jobs.
+
+    The row's partition position is materialized INTO the persisted
+    partitions (monotonically_increasing_id's low 33 bits, evaluated at
+    cache-population time over the window's deterministic sort), so later
+    scans see frozen ids regardless of scan order. Recompute after executor
+    loss could re-draw range boundaries — same caveat as
+    assign_doc_ids(strategy="range"): the uncommitted batch's deterministic
+    RE-RUN is the recovery unit (kill-tested).
+
+    Returns (docs_ided, agg_rows). docs_ided stays partitioned in contiguous
+    doc_id ranges — build_posting_blocks_local(assume_partitioned=True)
+    needs no further exchange. agg_rows: Row(_pid, *group_cols, _cnt, ...).
+    """
+    from pyspark import StorageLevel
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(key).asc())
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    deduped = (
+        ranged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    # after dedup `key` is unique, so the window's (key asc) partition order
+    # IS the (key, version_col) order; _lidx freezes that order into the
+    # cached blocks (low 33 bits = row position within the partition)
+    with_pid = deduped.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias("_lidx"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(with_pid)
+
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + list(agg_exprs or [])
+    agg_rows = with_pid.groupBy("_pid", *group_cols).agg(*aggs).collect()
+
+    counts: dict[int, int] = {}
+    for r in agg_rows:
+        counts[r["_pid"]] = counts.get(r["_pid"], 0) + int(r["_cnt"])
+    bases, acc = {}, base
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    # prefix-sum bases as a LITERAL map expression — a broadcast-join here
+    # would cost one broadcast-build job per downstream action on the
+    # result; the map is O(partitions) driver-side constants, zero jobs
+    base_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for p, b in bases.items()
+                    for x in (F.lit(int(p)), F.lit(int(b)).cast("long"))
+                ]
+            ),
+            F.col("_pid"),
+        )
+        if bases
+        else F.lit(None).cast("long")
+    )
+    docs_ided = (
+        with_pid.withColumn(
+            "doc_id", (base_expr + F.col("_lidx")).cast("long")
+        ).drop("_pid", "_lidx")
+    )
+    return docs_ided, agg_rows
+
+
 def dedup_last_write_wins(
     df: DataFrame, key: str = "url", version_col: str = "warc_ts"
 ) -> DataFrame:

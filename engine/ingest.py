@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 
 from engine.analysis import with_extracted_text
 from engine.config import DEFAULT_CONFIG, IndexConfig, plan_fanout
-from engine.docids import assign_doc_ids, dedup_last_write_wins
+from engine.docids import (
+    assign_doc_ids,
+    dedup_assign_ids_ranged,
+    dedup_last_write_wins,
+)
 from engine.postings import build_posting_blocks_local
 from engine.segments import IndexStore, LedgerEntry
 
@@ -195,20 +199,30 @@ def ingest_batch(
     if store.has_batch(batch_id):
         raise RuntimeError(f"batch {batch_id} already committed")  # E4 guard
 
-    hwm_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in hwm.items()] or [(-1, -1)],
-        "part_id int, committed long",
-    )
-    window = (
-        source.join(F.broadcast(hwm_df), "part_id", "left")
-        .where(
-            (F.col("row_offset") > F.coalesce(F.col("committed"), F.lit(-1)))
-            & (
-                F.col("row_offset")
-                <= F.coalesce(F.col("committed"), F.lit(-1)) + rows_per_partition
-            )
+    # per-partition committed offsets as a LITERAL map predicate — a
+    # broadcast join here costs one broadcast-build job per batch (~0.4s
+    # fixed, eventlog attribution in BENCH/NOTES.md); the map is
+    # O(#kafka-partitions) driver-side constants and the filter stays a
+    # plain pushable predicate on (part_id, row_offset)
+    if hwm:
+        committed = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for p, o in hwm.items()
+                        for x in (F.lit(int(p)), F.lit(int(o)).cast("long"))
+                    ]
+                ),
+                F.col("part_id"),
+            ),
+            F.lit(-1),
         )
-        .drop("committed")
+    else:
+        committed = F.lit(-1)
+    window = source.where(
+        (F.col("row_offset") > committed)
+        & (F.col("row_offset") <= committed + rows_per_partition)
     )
     return process_window(
         spark, store, window, batch_id, cfg=cfg, fail_before_commit=fail_before_commit
@@ -234,7 +248,32 @@ def process_window(
     `pre_extracted`: the window already carries extracted_text/extract_error/
     n_tokens (and a `payload` column holding the raw bytes of failed rows
     only) — the fanout staging path, which extracts ONCE for the whole batch
-    instead of once per index."""
+    instead of once per index.
+
+    Runs under build_confs (AQE off): with AQE, every action containing a
+    shuffle splits into 2-5 Spark jobs and the ~0.3-0.5s driver fixed cost
+    per job dominates a micro-batch (eventlog attribution in BENCH/NOTES.md);
+    the batch plans size their own partitions via plan_fanout."""
+    from engine.session import build_confs
+
+    with build_confs(spark):
+        return _process_window_body(
+            spark, store, window, batch_id, cfg=cfg,
+            fail_before_commit=fail_before_commit,
+            extra_metrics=extra_metrics, pre_extracted=pre_extracted,
+        )
+
+
+def _process_window_body(
+    spark: SparkSession,
+    store: IndexStore,
+    window: DataFrame,
+    batch_id: int,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    fail_before_commit: bool = False,
+    extra_metrics: dict | None = None,
+    pre_extracted: bool = False,
+) -> BatchResult | None:
     t0 = time.monotonic()
     stage_t: dict[str, float] = {}
 
@@ -309,7 +348,6 @@ def process_window(
             )
 
         good = ext.where(F.col("extract_error").isNull()).drop("extract_error")
-        good = dedup_last_write_wins(good, "url", "warc_ts")
 
         routed = cfg.routing_col is not None
         if routed and cfg.routing_col not in good.columns:
@@ -318,10 +356,65 @@ def process_window(
             )
 
         base = store.next_doc_id_base()
-        docs_ided = assign_doc_ids(
-            good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy,
-            num_partitions=n_parts, cleanup=persisted,
-        ).cache()
+        if cfg.docid_strategy == "range":
+            # fused hot path: ONE range exchange + ONE collect does dedup,
+            # id assignment AND the batch stats (n_docs / sum_dl /
+            # per-routing rollup) — vs the separate dedup window,
+            # assign_doc_ids counts job and stats rollup job of the
+            # "window" oracle path below. Per-batch fixed job count is what
+            # bounds micro-ingest throughput at 10^12-doc scale.
+            group_cols = (cfg.routing_col,) if routed else ()
+            docs_ided, agg_rows = dedup_assign_ids_ranged(
+                good, base=base, num_partitions=n_parts,
+                key="url", version_col="warc_ts",
+                group_cols=group_cols,
+                agg_exprs=(F.sum("n_tokens").alias("_sdl"),),
+                cleanup=persisted,
+            )
+            n_docs = int(sum(int(r["_cnt"]) for r in agg_rows))
+            sum_dl = int(sum(int(r["_sdl"] or 0) for r in agg_rows))
+            if routed:
+                routing_stats = {}
+                for r in agg_rows:
+                    v = str(r[cfg.routing_col])
+                    d = routing_stats.setdefault(v, {"n_docs": 0, "sum_dl": 0})
+                    d["n_docs"] += int(r["_cnt"])
+                    d["sum_dl"] += int(r["_sdl"] or 0)
+            else:
+                routing_stats = None
+            build_prepartitioned = True
+        else:
+            good = dedup_last_write_wins(good, "url", "warc_ts")
+            docs_ided = assign_doc_ids(
+                good, ["url", "warc_ts"], base=base, strategy=cfg.docid_strategy,
+                num_partitions=n_parts, cleanup=persisted,
+            ).cache()
+            persisted.append(docs_ided)
+            # one job: total + per-routing stats (rollup = a single agg)
+            roll_cols = [cfg.routing_col] if routed else []
+            stat_rows = (
+                docs_ided.rollup(*roll_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tokens").alias("s"),
+                )
+                .collect()
+            )
+            if routed:
+                routing_stats = {
+                    str(r[cfg.routing_col]): {
+                        "n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)
+                    }
+                    for r in stat_rows
+                    if r[cfg.routing_col] is not None
+                }
+                total = [r for r in stat_rows if r[cfg.routing_col] is None][0]
+            else:
+                routing_stats = None
+                total = stat_rows[0]
+            n_docs, sum_dl = int(total["n"]), int(total["s"] or 0)
+            build_prepartitioned = False
+        mark("ids_sec", _t)
 
         # doc_len came out of the extract UDF's single Python regex pass
         # (n_tokens; py_tokenize == JVM tokens, tested) — no second scan
@@ -334,36 +427,21 @@ def process_window(
             doc_cols.append(F.col(cfg.routing_col).cast("string").alias("routing"))
         doc_table = docs_ided.select(*doc_cols)
 
-        # one job: total + per-routing stats (rollup keeps it a single agg)
-        if routed:
-            stat_rows = (
-                doc_table.rollup("routing")
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
-                .collect()
-            )
-            routing_stats = {
-                r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
-                for r in stat_rows
-                if r["routing"] is not None
-            }
-            total = [r for r in stat_rows if r["routing"] is None][0]
-            n_docs, sum_dl = int(total["n"]), int(total["s"] or 0)
-        else:
-            routing_stats = None
-            agg = doc_table.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
-            ).collect()[0]
-            n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
-        mark("ids_sec", _t)
-
         # shuffle-free build: tokenize+tf+encode per doc-range partition;
-        # only compressed blocks reach the segment-write shuffle
+        # only compressed blocks reach the segment write. The fused id path
+        # left docs_ided partitioned in contiguous doc-id ranges, so the
+        # builder skips its own range exchange (assume_partitioned).
         blocks = build_posting_blocks_local(
             docs_ided, cfg, text_col="extracted_text",
             num_partitions=n_parts,
+            assume_partitioned=build_prepartitioned,
             routing_col=cfg.routing_col if routed else None,
         )
-        written = store.write_segment(
+        # skew metric (largest / median per-term-run df) rides the postings
+        # write via observe() — no term_stats job at all for micro segments
+        # (term_stats_df derives df from block metadata on read)
+        term_metrics: dict = {}
+        store.write_segment(
             segment_id,
             blocks,
             doc_table,
@@ -376,20 +454,10 @@ def process_window(
                 "batch_id": batch_id,
                 **({"routing_stats": routing_stats} if routing_stats else {}),
             },
+            term_metrics=term_metrics,
         )
         mark("build_write_sec", _t)
-        # metrics from the segment's term_stats parquet (tiny — one row per
-        # term), not from re-aggregating the block rows:
-        # skew = largest / median per-term posting-list length
-        q = (
-            spark.read.parquet(os.path.join(store.segment_path(segment_id), "term_stats"))
-            .agg(
-                F.max("df").alias("mx"),
-                F.expr("percentile_approx(df, 0.5)").alias("md"),
-            )
-            .collect()[0]
-        )
-        mark("metrics_sec", _t)
+        mx, md = term_metrics.get("max_df"), term_metrics.get("median_df")
         build_s = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
@@ -397,7 +465,7 @@ def process_window(
             "n_failed": int(n_failed),
             "build_sec": round(build_s, 3),
             "docs_per_sec": round(n_docs / build_s, 1) if build_s > 0 else None,
-            "skew_max_over_median_df": (q["mx"] / q["md"]) if q["md"] else None,
+            "skew_max_over_median_df": (mx / md) if md else None,
             **stage_t,
             **(extra_metrics or {}),
         }

@@ -50,7 +50,22 @@ def merge_segments(
 ) -> str:
     """Merge `segment_ids` (default: all live) into one segment. Returns the
     new segment id. Crash-safe: the ledger entry is committed last; a failed
-    merge leaves inputs live and the orphan output is overwritten on retry."""
+    merge leaves inputs live and the orphan output is overwritten on retry.
+
+    Runs under build_confs (AQE off) — same per-job fixed-cost rationale as
+    the ingest batch body (engine/ingest.py process_window)."""
+    from engine.session import build_confs
+
+    with build_confs(spark):
+        return _merge_segments_body(spark, store, segment_ids, cfg)
+
+
+def _merge_segments_body(
+    spark: SparkSession,
+    store: IndexStore,
+    segment_ids: list[str] | None = None,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> str:
     inputs = store.live_segments() if segment_ids is None else list(segment_ids)
     if len(inputs) < 2:
         raise ValueError("need at least 2 segments to merge")
@@ -60,22 +75,54 @@ def merge_segments(
 
     docs = store.docs(spark, inputs)
     routed = "routing" in docs.columns
-    live = live_doc_ids(docs).cache()
+    in_stats = [store.segment_stats(s) for s in inputs]
+    n_input_docs = sum(int(s["n_docs"]) for s in in_stats)
+
+    # Cross-segment duplicates exist only when a url was re-ingested in a
+    # later batch (update). ONE countDistinct job decides the shape:
+    # append-only (the common case) -> live == docs, stats are the driver-
+    # side SUM of the inputs' stats.json (zero further jobs, no dedup
+    # window in any downstream plan); updates -> full expunge path below.
+    n_distinct = int(
+        docs.select(F.countDistinct("url").alias("u")).collect()[0]["u"]
+    )
+    n_dead = n_input_docs - n_distinct
+
     merged_tf_dl = None
+    live_cached = None
     try:
-        # ONE action for total + per-routing stats (rollup), mirroring the
-        # ingest path — per-merge fixed job count matters when the tiered
-        # policy runs merges continuously alongside the ingest loop
-        stat_rows = (
-            live.rollup(*(["routing"] if routed else []))
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
-            .collect()
-        )
-        if routed:
-            total = [r for r in stat_rows if r["routing"] is None][0]
+        if n_dead == 0:
+            live = docs
+            n_docs, sum_dl = n_input_docs, sum(int(s["sum_dl"]) for s in in_stats)
+            routing_stats: dict[str, dict[str, int]] | None = None
+            if routed:
+                routing_stats = {}
+                for s in in_stats:
+                    for k, v in (s.get("routing_stats") or {}).items():
+                        d = routing_stats.setdefault(k, {"n_docs": 0, "sum_dl": 0})
+                        d["n_docs"] += int(v["n_docs"])
+                        d["sum_dl"] += int(v["sum_dl"])
         else:
-            total = stat_rows[0]
-        n_docs, sum_dl = int(total["n"]), int(total["s"] or 0)
+            live = live_doc_ids(docs).cache()
+            live_cached = live
+            # ONE action for total + per-routing stats (rollup)
+            stat_rows = (
+                live.rollup(*(["routing"] if routed else []))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+                .collect()
+            )
+            if routed:
+                total = [r for r in stat_rows if r["routing"] is None][0]
+                routing_stats = {
+                    r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+                    for r in stat_rows
+                    if r["routing"] is not None
+                }
+            else:
+                total = stat_rows[0]
+                routing_stats = None
+            n_docs, sum_dl = int(total["n"]), int(total["s"] or 0)
+            n_dead = n_input_docs - n_docs
 
         # expunge superseded docs' postings. The superseded (dead) set is
         # input_docs - live_docs — bounded by the UPDATE rate, not corpus
@@ -86,8 +133,6 @@ def merge_segments(
         # a shuffled semi-join against the live set. dl travels in the
         # blocks; routed blocks are routing-pure, so decode replicates
         # `routing` per posting and no join is needed to recover it.
-        n_input_docs = sum(int(store.segment_stats(s)["n_docs"]) for s in inputs)
-        n_dead = n_input_docs - n_docs
         postings_long = decode_postings(
             store.postings(spark, inputs), keep_cols=("routing",) if routed else ()
         )
@@ -135,12 +180,8 @@ def merge_segments(
             "sum_dl": sum_dl,
             "merged_from": inputs,
         }
-        if routed:
-            stats["routing_stats"] = {
-                r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
-                for r in stat_rows
-                if r["routing"] is not None
-            }
+        if routed and routing_stats is not None:
+            stats["routing_stats"] = routing_stats
         # merged segment gets the globally range-partitioned layout — it is
         # the long-lived segment queries hit; micro-ingest segments skip it
         store.write_segment(out_id, blocks, live, stats, ranged=True)
@@ -155,7 +196,8 @@ def merge_segments(
         )
         return out_id
     finally:
-        live.unpersist()
+        if live_cached is not None:
+            live_cached.unpersist()
         if merged_tf_dl is not None:
             merged_tf_dl.unpersist()
 

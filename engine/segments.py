@@ -150,6 +150,7 @@ class IndexStore:
         docs: DataFrame,
         stats: dict,
         ranged: bool = False,
+        term_metrics: dict | None = None,
     ) -> DataFrame:
         """Write (or deterministically overwrite) one immutable segment.
 
@@ -177,19 +178,50 @@ class IndexStore:
         already has (ADVICE r03). Routed segments (D9) are additionally
         hive-partitioned by routing: a routed query's scan touches ONLY
         that routing value's files.
+
+        term_stats: persisted ONLY for ranged (long-lived merge) segments —
+        a micro-ingest segment lives until the next tiered merge, and its
+        (term, df) table is exactly derivable from the block rows' `n`
+        column (term_stats_df falls back to a column-pruned, term-pushed
+        scan of the postings metadata for segments without the file), so
+        writing it per micro-batch was a pure fixed-job tax (one
+        agg+write action per batch).
+
+        `term_metrics` (optional dict, filled in place): per-term-run df
+        skew — max(n)/median(n) over the block rows, observe()d ON the
+        postings write action itself, zero extra jobs. Block rows are
+        per-(partition, term) runs, so for micro segments this reads as
+        "df partials per doc-range partition"; max/median still flags
+        hot-term skew (a hot term is hot in every partition).
         """
         sp = self.segment_path(segment_id)
         spark = postings.sparkSession
         routed = "routing" in postings.columns
         sort_cols = (["routing"] if routed else []) + ["term", "min_doc"]
-        writer = postings.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+        to_write = postings.sortWithinPartitions(*sort_cols)
+        obs = None
+        if term_metrics is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            to_write = to_write.observe(
+                obs,
+                F.max("n").alias("max_df"),
+                F.expr("percentile_approx(n, 0.5)").alias("median_df"),
+            )
+        writer = to_write.write.mode("overwrite")
         if routed:
             writer = writer.partitionBy("routing")
         writer.parquet(os.path.join(sp, "postings"))
+        if obs is not None:
+            term_metrics.update(obs.get)
         written = self._read_parquet(spark, os.path.join(sp, "postings"))
-        from engine.postings import term_stats as _ts
+        if ranged:
+            from engine.postings import term_stats as _ts
 
-        _ts(written).write.mode("overwrite").parquet(os.path.join(sp, "term_stats"))
+            _ts(written).write.mode("overwrite").parquet(
+                os.path.join(sp, "term_stats")
+            )
         doc_writer = docs.write.mode("overwrite")
         if routed and "routing" in docs.columns:
             doc_writer = doc_writer.partitionBy("routing")
@@ -268,7 +300,32 @@ class IndexStore:
         return self._read_union(spark, "docs", segments)
 
     def term_stats_df(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
-        df = self._read_union(spark, "term_stats", segments)
+        """(term, df) summed over `segments`. Merged (long-lived) segments
+        have a persisted term_stats table; micro-ingest segments don't
+        (write_segment skips it — one less action per batch), so their df
+        comes from the postings block metadata directly: a column-pruned
+        scan of (term, n) — the heavy posting buffers are never read, and a
+        caller's `term IN (...)` filter pushes down to row-group skipping."""
+        segs = self.live_segments() if segments is None else segments
+        have = [
+            s for s in segs
+            if os.path.isdir(os.path.join(self.segment_path(s), "term_stats"))
+        ]
+        lack = [s for s in segs if s not in set(have)]
+        parts = []
+        if have:
+            parts.append(
+                self._read_union(spark, "term_stats", have).select("term", "df")
+            )
+        if lack:
+            parts.append(
+                self._read_union(spark, "postings", lack).select(
+                    "term", F.col("n").cast("long").alias("df")
+                )
+            )
+        if not parts:
+            raise ValueError(f"index {self.name} has no live segments")
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         return df.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
 
     def postings_routed(self, spark: SparkSession, routing: str,

@@ -12,6 +12,47 @@ import os
 from pyspark.sql import SparkSession
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def conf_override(spark: SparkSession, **confs: str):
+    """Temporarily set session confs; restore previous values on exit.
+
+    Used to turn AQE OFF inside the micro-ingest / merge bodies: with AQE
+    on, every action that contains a shuffle executes as 2-5 separate Spark
+    jobs (one per materialized query stage), and on the micro-batch path the
+    ~0.3-0.5s driver-side fixed cost PER JOB (planning, scheduling, Py4J)
+    dominates wall time — the eventlog for the 3-batch store entry showed
+    28.5s in jobs vs 26.6s in between-job gaps across 77 jobs. The build
+    plans size their own partitions (plan_fanout) and the posting builder is
+    shuffle-free, so AQE's runtime re-planning buys nothing there. Large
+    analytic queries keep AQE (session default stays on)."""
+    conf = spark.conf
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                conf.unset(k)
+            else:
+                conf.set(k, old)
+
+
+@contextmanager
+def build_confs(spark: SparkSession):
+    """The conf profile for index-build bodies (ingest batch / merge)."""
+    with conf_override(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        yield
+
+
 def get_spark(
     app_name: str = "inverted-index-engine",
     cores: int | None = None,

@@ -77,6 +77,61 @@ def test_doc_ids_with_base(spark, pages):
     assert got == list(range(1000, 1050))
 
 
+def test_fused_dedup_assign_ids_matches_window(spark, pages):
+    """dedup_assign_ids_ranged == dedup_last_write_wins + assign_doc_ids
+    (window oracle), and its piggybacked agg rows == a direct groupBy."""
+    from engine.docids import dedup_assign_ids_ranged
+
+    deduped = dedup_last_write_wins(pages)
+    w = assign_doc_ids(deduped, ["url", "warc_ts"], strategy="window", base=100)
+    cleanup: list = []
+    fused, agg_rows = dedup_assign_ids_ranged(
+        pages, base=100, num_partitions=7,
+        group_cols=("lang",),
+        agg_exprs=(F.sum(F.length("text")).alias("_sl"),),
+        cleanup=cleanup,
+    )
+    try:
+        wm = {x["url"]: x["doc_id"] for x in w.select("url", "doc_id").collect()}
+        fm = {x["url"]: x["doc_id"] for x in fused.select("url", "doc_id").collect()}
+        assert fm == wm
+        # ids are frozen into the persisted blocks: re-collect is identical
+        fm2 = {x["url"]: x["doc_id"] for x in fused.select("url", "doc_id").collect()}
+        assert fm2 == fm
+        # dedup kept the newest version of the duplicate url
+        kept = fused.where(
+            F.col("url") == "https://site4.example/page/4"
+        ).collect()
+        all_ts = [
+            r["warc_ts"]
+            for r in pages.where(
+                F.col("url") == "https://site4.example/page/4"
+            ).collect()
+        ]
+        assert len(kept) == 1 and kept[0]["warc_ts"] == max(all_ts)
+        # piggybacked stats: cover every surviving doc exactly once and
+        # match a direct post-dedup groupBy per group value
+        assert sum(int(r["_cnt"]) for r in agg_rows) == len(wm)
+        per_lang: dict[str, list[int]] = {}
+        for r in agg_rows:
+            acc = per_lang.setdefault(r["lang"], [0, 0])
+            acc[0] += int(r["_cnt"])
+            acc[1] += int(r["_sl"] or 0)
+        direct = {
+            r["lang"]: [int(r["c"]), int(r["s"])]
+            for r in deduped.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.length("text")).alias("s"),
+            )
+            .collect()
+        }
+        assert per_lang == direct
+    finally:
+        for c in cleanup:
+            c.unpersist()
+
+
 def test_dedup_last_write_wins(spark, pages):
     deduped = dedup_last_write_wins(pages)
     assert deduped.count() == N - 1  # one dup pair collapsed
