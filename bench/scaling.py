@@ -56,6 +56,87 @@ def ensure_corpus(n_docs: int) -> str:
 
 SOURCE_PARTITIONS = 64  # fixed across parallelism levels: SAME job, same batching
 
+# Machine-speed probe: the sandbox VM has hypervisor "slow phases" that cut
+# single-thread speed 5-10x WITHOUT showing up in loadavg or steal time
+# (measured 2026-08-18: interleaved identical 100k-doc builds ranged 49s to
+# 388s at loadavg <= 8 and steal < 4%). A fixed pure-Python workload timed
+# in a separate PROCESS (no GIL sharing with the driver) measures actual
+# delivered speed; trials gate on it instead of guessing from loadavg.
+# Calibrated healthy speed on this VM: 18-21.5 mops; slow phases drop the
+# probe 3-10x, so a run whose WORST sample stayed >= 13 never hit one.
+PROBE_QUIET_MIN_MOPS = 13.0
+
+
+def probe_speed_once(n: int = 2_000_000) -> float:
+    """One probe sample: millions of trivial loop ops per second."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(n):
+        s += i & 7
+    dt = time.perf_counter() - t0
+    return round(n / dt / 1e6, 1)
+
+
+def _probe_sampler(path: str, interval: float, stop_path: str) -> None:
+    """Child-process loop: append one probe sample (mops) per `interval`."""
+    while not os.path.exists(stop_path):
+        v = probe_speed_once()
+        with open(path, "a") as f:
+            f.write(f"{v}\n")
+        time.sleep(interval)
+
+
+class ProbeMonitor:
+    """Samples machine speed in a separate process for a run's duration.
+
+    Duty cycle ~0.1s probe / 5s sleep — one core at ~2%, negligible vs the
+    run it monitors; the separate process means the sample is never blocked
+    by the driver's GIL or Py4J waits."""
+
+    def __init__(self, interval: float = 5.0):
+        import tempfile
+
+        self.dir = tempfile.mkdtemp(prefix="probe_")
+        self.path = os.path.join(self.dir, "samples.txt")
+        self.stop_path = os.path.join(self.dir, "stop")
+        self.interval = interval
+        self.proc = None
+
+    def __enter__(self):
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("fork")
+        self.proc = ctx.Process(
+            target=_probe_sampler,
+            args=(self.path, self.interval, self.stop_path),
+            daemon=True,
+        )
+        self.proc.start()
+        return self
+
+    def __exit__(self, *exc):
+        with open(self.stop_path, "w") as f:
+            f.write("1")
+        if self.proc is not None:
+            self.proc.join(timeout=10)
+            if self.proc.is_alive():
+                self.proc.terminate()
+
+    def summary(self) -> dict:
+        try:
+            with open(self.path) as f:
+                xs = sorted(float(l) for l in f if l.strip())
+        except FileNotFoundError:
+            xs = []
+        if not xs:
+            return {"probe_n": 0}
+        return {
+            "probe_n": len(xs),
+            "probe_min_mops": xs[0],
+            "probe_p50_mops": xs[len(xs) // 2],
+            "probe_max_mops": xs[-1],
+        }
+
 
 def child(cores: int, n_docs: int, mode: str = "strong") -> None:
     """One parallelism level: full index build + query latency. Prints JSON.
@@ -110,31 +191,32 @@ def child(cores: int, n_docs: int, mode: str = "strong") -> None:
     )
     shutil.rmtree(os.path.join(root, "warmup"), ignore_errors=True)
 
-    t0 = time.perf_counter()
-    results = run_ingest_loop(
-        spark, store, source,
-        # 2 batches, double ceil so no tiny leftover third micro-batch
-        rows_per_partition=max(1, -(-(-(-n_docs // SOURCE_PARTITIONS)) // 2)),
-        start_option=EARLIEST,
-        cfg=IndexConfig(docid_strategy="range"),  # parallel ids (same as window)
-    )
-    build_sec = time.perf_counter() - t0
-    total_docs = sum(r.n_docs for r in results)
+    with ProbeMonitor() as pm:
+        t0 = time.perf_counter()
+        results = run_ingest_loop(
+            spark, store, source,
+            # 2 batches, double ceil so no tiny leftover third micro-batch
+            rows_per_partition=max(1, -(-(-(-n_docs // SOURCE_PARTITIONS)) // 2)),
+            start_option=EARLIEST,
+            cfg=IndexConfig(docid_strategy="range"),  # parallel ids (same as window)
+        )
+        build_sec = time.perf_counter() - t0
+        total_docs = sum(r.n_docs for r in results)
 
-    # query latency at this level: a held-open IndexReader (the Lucene
-    # searcher split — index cached once, queries only filter+decode+score)
-    from engine.query import IndexReader
+        # query latency at this level: a held-open IndexReader (the Lucene
+        # searcher split — index cached once, queries filter+decode+score)
+        from engine.query import IndexReader
 
-    reader = IndexReader(spark, store)
-    reader.search(["warmup"], k=1).collect()  # warm-up outside the timing loop
-    lat_exact, lat_wand = [], []
-    for terms, k in QUERY_SET:
-        t = time.perf_counter()
-        reader.search(terms, k=k).collect()
-        lat_exact.append(time.perf_counter() - t)
-        t = time.perf_counter()
-        reader.search_wand(terms, k=k).collect()
-        lat_wand.append(time.perf_counter() - t)
+        reader = IndexReader(spark, store)
+        reader.search(["warmup"], k=1).collect()  # warm-up outside timing
+        lat_exact, lat_wand = [], []
+        for terms, k in QUERY_SET:
+            t = time.perf_counter()
+            reader.search(terms, k=k).collect()
+            lat_exact.append(time.perf_counter() - t)
+            t = time.perf_counter()
+            reader.search_wand(terms, k=k).collect()
+            lat_wand.append(time.perf_counter() - t)
 
     def pct(xs, p):
         xs = sorted(xs)
@@ -150,6 +232,7 @@ def child(cores: int, n_docs: int, mode: str = "strong") -> None:
         "q_exact_p99_ms": round(pct(lat_exact, 0.99) * 1000, 1),
         "q_wand_p50_ms": round(statistics.median(lat_wand) * 1000, 1),
         "q_wand_p99_ms": round(pct(lat_wand, 0.99) * 1000, 1),
+        **pm.summary(),
     }))
 
 
@@ -205,9 +288,11 @@ def main() -> None:
                     deadline = time.time() + 1200
                     while time.time() < deadline:
                         load1 = os.getloadavg()[0]
-                        if load1 < args.wait_idle:
+                        mops = probe_speed_once()
+                        if load1 < args.wait_idle and mops >= PROBE_QUIET_MIN_MOPS:
                             break
-                        print(f"waiting for idle (load1={load1:.1f})", file=sys.stderr)
+                        print(f"waiting for idle (load1={load1:.1f}, "
+                              f"probe={mops:.1f} mops)", file=sys.stderr)
                         time.sleep(20)
                 load_before = os.getloadavg()
                 p = subprocess.run(
@@ -226,13 +311,15 @@ def main() -> None:
                 r = json.loads(lines[-1])
                 # loadavg before/after: 1-min load >> our own thread count
                 # after a run flags external noisy-neighbor interference.
-                # quiet = started under the idle gate AND no wave arrived
-                # mid-run (post-run load1 is ~the run's own residual only)
+                # quiet = the in-run probe's WORST sample stayed at healthy
+                # machine speed (hypervisor slow phases cut single-thread
+                # speed 3-10x without moving loadavg or steal, measured
+                # 2026-08-18); loadavg kept as context, not as the gate
                 r["load1_before"] = round(load_before[0], 2)
                 r["load1_after"] = round(os.getloadavg()[0], 2)
                 r["quiet"] = bool(
-                    load_before[0] < max(args.wait_idle, 1.5)
-                    and r["load1_after"] < max(3.0, 0.45 * cores)
+                    r.get("probe_n", 0) > 0
+                    and r.get("probe_min_mops", 0.0) >= PROBE_QUIET_MIN_MOPS
                 )
                 r["pair_id"] = pair_id
                 print(f"mode={args.mode} cores={cores} trial={trial} "

@@ -95,14 +95,24 @@ def main() -> None:
 
     reader = IndexReader(spark, store)
     reader.search(["warmup"], k=1).collect()
-    lat_exact, lat_wand = [], []
+    # per-query latencies are kept (and published in the soak row) so a tail
+    # outlier is attributable to a specific query shape, not just a p99
+    lat_exact, lat_wand, per_query = [], [], []
     for terms, k in QUERY_SET:
         t = time.perf_counter()
         reader.search(terms, k=k).collect()
-        lat_exact.append(time.perf_counter() - t)
+        e = time.perf_counter() - t
+        lat_exact.append(e)
         t = time.perf_counter()
         reader.search_wand(terms, k=k).collect()
-        lat_wand.append(time.perf_counter() - t)
+        wnd = time.perf_counter() - t
+        lat_wand.append(wnd)
+        per_query.append({
+            "terms": terms, "k": k,
+            "exact_ms": round(e * 1000, 1), "wand_ms": round(wnd * 1000, 1),
+        })
+        print(f"query {terms} k={k}: exact {e*1000:.0f}ms wand {wnd*1000:.0f}ms",
+              file=sys.stderr, flush=True)
 
     def pct(xs, p):
         xs = sorted(xs)
@@ -124,6 +134,7 @@ def main() -> None:
         "q_wand_p99_ms": round(pct(lat_wand, 0.99) * 1000, 1),
         "load1_after": round(os.getloadavg()[0], 2),
         "routing": args.routing,
+        "per_query": per_query,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "a") as f:
