@@ -88,6 +88,19 @@ class IndexStore:
             _atomic_write_json(os.path.join(self.path, "_aliases.json"), {})
         return self
 
+    def create_and_alias(
+        self, alias: str, filter_col: str | None = None, filter_val=None,
+        routing: str | None = None,
+    ) -> "IndexStore":
+        """One-call create-index-then-alias, the reference's
+        createIndexAndAlias (ElasticSearchClientService.java:125-128).
+        Idempotent like create(); the alias (optionally filtered/routed,
+        S10/S11) points at this index when the call returns."""
+        self.create()
+        self.add_alias(alias, filter_col=filter_col, filter_val=filter_val,
+                       routing=routing)
+        return self
+
     def delete(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 

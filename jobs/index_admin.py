@@ -10,6 +10,8 @@ subcommands over the on-disk store:
     python jobs/index_admin.py delete  --index-root R --index web
     python jobs/index_admin.py alias   --index-root R --index web \
         --alias en_docs [--filter lang=en] [--routing en]
+    python jobs/index_admin.py create-and-alias --index-root R --index web \
+        --alias en_docs [--filter lang=en] [--routing en]
     python jobs/index_admin.py list    --index-root R
     python jobs/index_admin.py stats   --index-root R --index web
 
@@ -24,6 +26,22 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_filter(raw_filter: str | None) -> tuple[str | None, object]:
+    """`col=value` -> (col, typed value): a numeric filter stored as "1"
+    would lean on implicit casts at query time."""
+    if not raw_filter:
+        return None, None
+    col, _, raw = raw_filter.partition("=")
+    val: object = raw
+    for cast in (int, float):
+        try:
+            val = cast(raw)
+            break
+        except ValueError:
+            pass
+    return col, val
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -43,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--filter", default=None, help="col=value term filter (S11)")
     pa.add_argument("--routing", default=None,
                     help="routing value applied to requests through the alias")
+    pca = sub.add_parser("create-and-alias",
+                         help="one-call createIndexAndAlias "
+                              "(ElasticSearchClientService.java:125-128)")
+    add_common(pca)
+    pca.add_argument("--alias", required=True)
+    pca.add_argument("--filter", default=None, help="col=value term filter (S11)")
+    pca.add_argument("--routing", default=None)
     add_common(sub.add_parser("list"), need_index=False)
     add_common(sub.add_parser("stats"))
     args = ap.parse_args(argv)
@@ -55,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     store = IndexStore(args.index_root, args.index)
+    if args.cmd == "create-and-alias":
+        existed = store.exists()
+        store.create_and_alias(args.alias, *_parse_filter(args.filter),
+                               routing=args.routing)
+        print(json.dumps({"index": args.index, "alias": args.alias,
+                          "created": not existed}))
+        return 0
     if args.cmd == "create":
         if store.exists():
             # reference createIndex is a no-op guard on existing index
@@ -74,18 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"index": args.index, "deleted": True}))
         return 0
     if args.cmd == "alias":
-        col, val = None, None
-        if args.filter:
-            col, _, raw = args.filter.partition("=")
-            # type the value like add_alias callers do (a numeric filter
-            # stored as "1" would lean on implicit casts at query time)
-            val: object = raw
-            for cast in (int, float):
-                try:
-                    val = cast(raw)
-                    break
-                except ValueError:
-                    pass
+        col, val = _parse_filter(args.filter)
         store.add_alias(args.alias, filter_col=col, filter_val=val,
                         routing=args.routing)
         print(json.dumps({"index": args.index, "alias": args.alias,

@@ -4,6 +4,8 @@ signatures, merge write path without the redundant block re-range."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -260,3 +262,39 @@ def test_minhash_signature_split_across_batches(spark, docs_small):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert tiny == base
+
+
+def test_create_and_alias_one_call(tmp_path):
+    """createIndexAndAlias analog (ElasticSearchClientService.java:125-128):
+    one call creates the index and points a (filtered, routed) alias at it;
+    idempotent on an existing index like create()."""
+    import json
+    import subprocess
+    import sys
+
+    from engine.segments import IndexStore
+
+    store = IndexStore(str(tmp_path), "web").create_and_alias(
+        "en_docs", filter_col="lang", filter_val="en", routing="en"
+    )
+    assert store.exists()
+    assert store.alias_spec("en_docs") == {
+        "filter_col": "lang", "filter_val": "en", "routing": "en"
+    }
+    # second call: no error, alias spec replaced (reference re-alias)
+    store.create_and_alias("en_docs", routing="fr")
+    assert store.alias_spec("en_docs")["routing"] == "fr"
+
+    # CLI surface prints one JSON line and types the filter value
+    out = subprocess.run(
+        [sys.executable, "jobs/index_admin.py", "create-and-alias",
+         "--index-root", str(tmp_path), "--index", "web2",
+         "--alias", "p1", "--filter", "part_id=1"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert json.loads(out.stdout)["created"] is True
+    assert IndexStore(str(tmp_path), "web2").alias_spec("p1") == {
+        "filter_col": "part_id", "filter_val": 1, "routing": None
+    }
