@@ -66,6 +66,16 @@ SOURCE_PARTITIONS = 64  # fixed across parallelism levels: SAME job, same batchi
 # probe 3-10x, so a run whose WORST sample stayed >= 13 never hit one.
 PROBE_QUIET_MIN_MOPS = 13.0
 
+# A run that uses (nearly) every advertised vCPU starves the probe process
+# by construction — with 32 busy Spark threads on ~21 delivered cores the
+# probe's share of a core drops below 1 even on a perfectly healthy
+# machine, so in-run probe_min is self-confounded at that level. For such
+# runs quiet is judged from the machine state bracketing the run
+# (probe_before/probe_after, sampled by the parent while the box is idle)
+# plus the in-run MEDIAN staying healthy (a hypervisor slow phase drags
+# most samples down, self-starvation only the tail).
+SATURATING_CORES = 24
+
 
 def probe_speed_once(n: int = 2_000_000) -> float:
     """One probe sample: millions of trivial loop ops per second."""
@@ -192,6 +202,7 @@ def child(cores: int, n_docs: int, mode: str = "strong") -> None:
     shutil.rmtree(os.path.join(root, "warmup"), ignore_errors=True)
 
     with ProbeMonitor() as pm:
+        build_t0_ms = int(time.time() * 1000)  # epoch: slices the eventlog
         t0 = time.perf_counter()
         results = run_ingest_loop(
             spark, store, source,
@@ -201,6 +212,7 @@ def child(cores: int, n_docs: int, mode: str = "strong") -> None:
             cfg=IndexConfig(docid_strategy="range"),  # parallel ids (same as window)
         )
         build_sec = time.perf_counter() - t0
+        build_t1_ms = int(time.time() * 1000)
         total_docs = sum(r.n_docs for r in results)
 
         # query latency at this level: a held-open IndexReader (the Lucene
@@ -232,6 +244,10 @@ def child(cores: int, n_docs: int, mode: str = "strong") -> None:
         "q_exact_p99_ms": round(pct(lat_exact, 0.99) * 1000, 1),
         "q_wand_p50_ms": round(statistics.median(lat_wand) * 1000, 1),
         "q_wand_p99_ms": round(pct(lat_wand, 0.99) * 1000, 1),
+        # epoch bounds of the timed build, for eventlog attribution
+        # (tools/attribute_scaling.py slices jobs/stages to this window)
+        "build_t0_ms": build_t0_ms,
+        "build_t1_ms": build_t1_ms,
         **pm.summary(),
     }))
 
@@ -295,6 +311,7 @@ def main() -> None:
                               f"probe={mops:.1f} mops)", file=sys.stderr)
                         time.sleep(20)
                 load_before = os.getloadavg()
+                probe_before = probe_speed_once()
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--child", "--cores", str(cores), "--docs", str(nd),
@@ -317,10 +334,26 @@ def main() -> None:
                 # 2026-08-18); loadavg kept as context, not as the gate
                 r["load1_before"] = round(load_before[0], 2)
                 r["load1_after"] = round(os.getloadavg()[0], 2)
-                r["quiet"] = bool(
-                    r.get("probe_n", 0) > 0
-                    and r.get("probe_min_mops", 0.0) >= PROBE_QUIET_MIN_MOPS
-                )
+                r["probe_before"] = probe_before
+                r["probe_after"] = probe_speed_once()
+                # in-run probe_min is the gate below the saturation level;
+                # a saturating run starves the probe with its own threads
+                # (see SATURATING_CORES note), so there quiet = the machine
+                # was healthy immediately before AND after, and the in-run
+                # MEDIAN never collapsed (slow phases drag the median, our
+                # own bursts only the tail).
+                if cores < SATURATING_CORES:
+                    r["quiet"] = bool(
+                        r.get("probe_n", 0) > 0
+                        and r.get("probe_min_mops", 0.0) >= PROBE_QUIET_MIN_MOPS
+                    )
+                else:
+                    r["quiet"] = bool(
+                        r.get("probe_n", 0) > 0
+                        and r["probe_before"] >= PROBE_QUIET_MIN_MOPS
+                        and r["probe_after"] >= PROBE_QUIET_MIN_MOPS
+                        and r.get("probe_p50_mops", 0.0) >= PROBE_QUIET_MIN_MOPS
+                    )
                 r["pair_id"] = pair_id
                 print(f"mode={args.mode} cores={cores} trial={trial} "
                       f"attempt={attempt}: {r}", file=sys.stderr)

@@ -27,7 +27,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench.scaling import QUERY_SET, ensure_corpus  # noqa: E402
+from bench.scaling import (  # noqa: E402
+    QUERY_SET, ProbeMonitor, ensure_corpus, probe_speed_once,
+)
 
 SOURCE_PARTITIONS = 64
 
@@ -71,10 +73,14 @@ def main() -> None:
 
     rows_per_partition = max(1, -(-args.docs // (SOURCE_PARTITIONS * args.batches)))
 
+    build_probe = ProbeMonitor()
+    build_probe.__enter__()
     t0 = time.perf_counter()
     total_docs, n_batches, n_merges, merge_sec = 0, 0, 0, 0.0
+    per_batch_sec = []
     hwm = resolve_start_offsets(store, source, EARLIEST)
     while True:
+        bt = time.perf_counter()
         batch_id = store.next_entry_id()
         res = ingest_batch(spark, store, source, batch_id, hwm,
                            rows_per_partition, cfg=cfg)
@@ -87,11 +93,16 @@ def main() -> None:
         if maybe_merge(spark, store, merge_factor=args.merge_factor, cfg=cfg):
             n_merges += 1
         merge_sec += time.perf_counter() - mt
+        per_batch_sec.append(round(time.perf_counter() - bt, 2))
         print(f"batch {n_batches}: {total_docs:,} docs, "
               f"{len(store.live_segments())} live segments, "
               f"{n_merges} merges, {time.perf_counter() - t0:.0f}s elapsed",
               file=sys.stderr, flush=True)
     build_sec = time.perf_counter() - t0
+    build_probe.__exit__()
+    build_probe_summary = {
+        f"build_{k}": v for k, v in build_probe.summary().items()
+    }
 
     reader = IndexReader(spark, store)
     reader.search(["warmup"], k=1).collect()
@@ -107,11 +118,17 @@ def main() -> None:
         reader.search_wand(terms, k=k).collect()
         wnd = time.perf_counter() - t
         lat_wand.append(wnd)
+        # one probe sample right after each query pair: was the machine
+        # healthy when THIS query ran? (attributes a tail outlier to a
+        # hypervisor slow phase vs the query's own shape)
+        mops = probe_speed_once()
         per_query.append({
             "terms": terms, "k": k,
             "exact_ms": round(e * 1000, 1), "wand_ms": round(wnd * 1000, 1),
+            "probe_mops": mops,
         })
-        print(f"query {terms} k={k}: exact {e*1000:.0f}ms wand {wnd*1000:.0f}ms",
+        print(f"query {terms} k={k}: exact {e*1000:.0f}ms wand {wnd*1000:.0f}ms"
+              f" probe {mops:.1f}",
               file=sys.stderr, flush=True)
 
     def pct(xs, p):
@@ -134,6 +151,8 @@ def main() -> None:
         "q_wand_p99_ms": round(pct(lat_wand, 0.99) * 1000, 1),
         "load1_after": round(os.getloadavg()[0], 2),
         "routing": args.routing,
+        "per_batch_sec": per_batch_sec,
+        **build_probe_summary,
         "per_query": per_query,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
