@@ -73,7 +73,10 @@ PROBE_QUIET_MIN_MOPS = 13.0
 # runs quiet is judged from the machine state bracketing the run
 # (probe_before/probe_after, sampled by the parent while the box is idle)
 # plus the in-run MEDIAN staying healthy (a hypervisor slow phase drags
-# most samples down, self-starvation only the tail).
+# most samples down, self-starvation only the tail). This rule can
+# false-POSITIVE on a partial wave (median survives), but a slow phase
+# only ever makes a run slower, so a false-quiet row can never inflate a
+# best-of cell — the asymmetry is safe for the headline numbers.
 SATURATING_CORES = 24
 
 
@@ -143,6 +146,7 @@ class ProbeMonitor:
         return {
             "probe_n": len(xs),
             "probe_min_mops": xs[0],
+            "probe_p25_mops": xs[len(xs) // 4],
             "probe_p50_mops": xs[len(xs) // 2],
             "probe_max_mops": xs[-1],
         }
