@@ -142,13 +142,17 @@ def bm25_topk_from_index(
     cfg: IndexConfig = DEFAULT_CONFIG,
     conjunctive: bool = False,
     live_docs: DataFrame | None = None,
+    excluded_doc_ids=None,
 ) -> DataFrame:
     """Exact BM25 top-k over a prebuilt block-postings index.
 
     `postings`: POSTINGS_SCHEMA block rows (engine.postings); doc lengths
     travel inside the blocks (dl_bytes), so scoring needs NO doc-table join.
     n_docs/avgdl come from index stats. `live_docs` (doc_id) optionally
-    restricts results to non-superseded docs (multi-segment upsert, D10).
+    restricts results to non-superseded docs (multi-segment upsert, D10);
+    `excluded_doc_ids` (a bounded driver-side set of superseded ids) is the
+    cheap complement — a NOT IN literal filter instead of a semi-join, the
+    same mechanism the WAND executor uses. Pass one or the other.
 
     The term filter uses isin() so a Parquet-backed postings table gets
     predicate pushdown + row-group skipping (postings are written sorted by
@@ -162,6 +166,8 @@ def bm25_topk_from_index(
     dfreq = term_stats(cand)  # df(t) = sum of block n per term — exact
     if live_docs is not None:
         tf = tf.join(live_docs.select("doc_id"), "doc_id", "left_semi")
+    elif excluded_doc_ids:
+        tf = tf.where(~F.col("doc_id").isin(list(excluded_doc_ids)))
 
     matched = tf.join(F.broadcast(dfreq), "term")
     idf = F.log(
@@ -330,6 +336,7 @@ class IndexReader:
         self.doc_id_hwm = self.store.next_doc_id_base()
         self.deleted: frozenset = frozenset()
         self._deleted_overflow = False
+        self._live_cache = None  # lazy, overflow-only (see _live_docs_df)
         if len(self.store.live_segments()) > 1:
             docs = self.store.docs(self.spark)
             deleted = docs.join(
@@ -364,11 +371,19 @@ class IndexReader:
     def close(self) -> None:
         self.postings.unpersist()
         self._term_stats.unpersist()
+        if self._live_cache is not None:
+            self._live_cache.unpersist()
+            self._live_cache = None
 
     def search(
         self, query_terms: list[str], k: int = 10, conjunctive: bool = False
     ) -> DataFrame:
-        """Exact BM25 top-k from the cached index."""
+        """Exact BM25 top-k from the cached index.
+
+        Superseded docs are excluded via the bounded driver-side set (a
+        NOT IN literal, same as the WAND path) — NOT a per-query window
+        over the whole docs table; the distributed live-docs join only
+        appears when the set overflowed, and then from a cache built once."""
         return bm25_topk_from_index(
             self.postings,
             self.stats["n_docs"],
@@ -378,15 +393,19 @@ class IndexReader:
             cfg=self.cfg,
             conjunctive=conjunctive,
             live_docs=self._live_docs_df(),
+            excluded_doc_ids=None if self._deleted_overflow else self.deleted,
         )
 
     def _live_docs_df(self):
-        if not self.deleted:
-            return None
-        docs = self.store.docs(self.spark)
-        from engine.merge import live_doc_ids
+        if not self._deleted_overflow:
+            return None  # bounded set rides excluded_doc_ids instead
+        if self._live_cache is None:
+            from engine.merge import live_doc_ids
 
-        return live_doc_ids(docs)
+            docs = self.store.docs(self.spark)
+            self._live_cache = live_doc_ids(docs).select("doc_id").cache()
+            self._live_cache.count()
+        return self._live_cache
 
     def search_wand(self, query_terms: list[str], k: int = 10) -> DataFrame:
         """Block-max WAND top-k from the cached index.

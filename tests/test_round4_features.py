@@ -298,3 +298,55 @@ def test_create_and_alias_one_call(tmp_path):
     assert IndexStore(str(tmp_path), "web2").alias_spec("p1") == {
         "filter_col": "part_id", "filter_val": 1, "routing": None
     }
+
+
+# ---------------------------------------------------------------------------
+# IndexReader exact path: superseded docs excluded via the bounded driver-side
+# set (no per-query live-docs window); overflow builds ONE cached live-docs DF
+# ---------------------------------------------------------------------------
+
+
+def test_reader_exact_path_deleted_set_and_overflow_cache(spark, tmp_path):
+    from engine.config import IndexConfig
+    from engine.query import IndexReader, search_store
+
+    src = as_partitioned_source(webpages(spark, 80, partitions=2), 2)
+    store = IndexStore(str(tmp_path), "rd").create()
+    run_ingest_loop(spark, store, src, rows_per_partition=20,
+                    start_option=EARLIEST)
+    # re-ingest from EARLIEST: every doc re-indexed into new segments with
+    # higher doc_ids -> the first copies become superseded (cross-segment
+    # upsert, D10), so the reader actually has a non-empty deleted set
+    run_ingest_loop(spark, store, src, rows_per_partition=20,
+                    start_option=EARLIEST)
+    assert len(store.live_segments()) > 1
+    terms = ["engine", "spark"]
+    want = [(r["doc_id"], r["score"])
+            for r in search_store(spark, store, terms, k=10).collect()]
+
+    # bounded set: exact search uses excluded_doc_ids, never a live-docs DF
+    reader = IndexReader(spark, store)
+    try:
+        assert reader.deleted and not reader._deleted_overflow
+        assert reader._live_docs_df() is None
+        got = [(r["doc_id"], r["score"])
+               for r in reader.search(terms, k=10).collect()]
+        assert got == want
+        assert reader._live_cache is None  # never built on this path
+    finally:
+        reader.close()
+
+    # overflow: distributed live-docs join, built once and cached
+    reader = IndexReader(spark, store, cfg=IndexConfig(max_deleted_driver=0))
+    try:
+        assert reader._deleted_overflow
+        got = [(r["doc_id"], r["score"])
+               for r in reader.search(terms, k=10).collect()]
+        assert got == want
+        first = reader._live_cache
+        assert first is not None
+        reader.search(terms, k=10).collect()
+        assert reader._live_cache is first  # reused, not re-derived
+    finally:
+        reader.close()
+    assert reader._live_cache is None  # close() released it
