@@ -603,6 +603,7 @@ as its first.
         if better:
             by_pair[r["pair_id"]][r["cores"]] = r
     best_paired = None
+    quiet_effs = []
     for pid in sorted(by_pair):
         cells = by_pair[pid]
         lv = sorted(cells)
@@ -618,8 +619,10 @@ as its first.
             f"| {cells[hi]['docs_per_sec']:,} | **{eff}** "
             f"| {'yes' if both_quiet else 'no'} |"
         )
-        if both_quiet and (best_paired is None or eff > best_paired[1]):
-            best_paired = (pid, eff)
+        if both_quiet:
+            quiet_effs.append(eff)
+            if best_paired is None or eff > best_paired[1]:
+                best_paired = (pid, eff)
     paired_md = ""
     if paired_rows:
         paired_md = (
@@ -647,11 +650,18 @@ as its first.
             f" Quiet-gated cells only (no wave before OR after either run): "
             f"{', '.join(q_bits)}." if q_bits else ""
         )
-        pair_part = (
-            f" Best fully-quiet PAIRED weak trial: **{best_paired[1]}** "
-            f"(pair {best_paired[0]} — a measured same-window N -> 4N "
-            f"ratio, not a best-of splice)." if best_paired else ""
-        )
+        pair_part = ""
+        if best_paired:
+            import statistics as _st
+
+            pair_part = (
+                f" Fully-quiet PAIRED weak trials (measured same-window "
+                f"N -> 4N ratios, not best-of splices): n={len(quiet_effs)}, "
+                f"median **{round(_st.median(quiet_effs), 3)}**, "
+                f"{sum(1 for e in quiet_effs if e >= 0.8)} of "
+                f"{len(quiet_effs)} >= 0.8, best {best_paired[1]} "
+                f"(pair {best_paired[0]}; full table below)."
+            )
         headline = (
             f"**Headline (north rule, N=2 -> 4N=8 cores): weak-scaling "
             f"efficiency {w28}, strong-scaling (SAME input) {s28}** (best-of "
