@@ -41,6 +41,18 @@ def main() -> None:
         "resize_plan", "image_features", "frame_sample",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
+
+    # One trivial action before the timed loop so the FIRST query doesn't
+    # absorb process fixed cost (JVM JIT, codegen init, scheduler spin-up —
+    # measured ~3-13s, data-size-independent). The warmup touches no
+    # benchmark table and runs no benchmark query; its cost is published
+    # separately as warmup_sec, not hidden (rounds <= 3 folded it into
+    # term_frequencies, the first entry).
+    t0 = time.perf_counter()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warmup = round(time.perf_counter() - t0, 3)
+    print(f"# warmup action: {warmup}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -60,6 +72,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "warmup_sec": warmup,
                 "sf": sf,
             }
         )
