@@ -80,6 +80,21 @@ def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_postings(build_posting_blocks_local(_docs(spark, sf_dir)))
 
 
+def _q_postings_roundtrip_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same build->decode round-trip with the 'pfor' block codec (per-block
+    FOR bit-packing, engine/codecs.py — the unpatched PForDelta base the
+    north star names alongside varint). Same SQL oracle: the value-hash
+    certifies the bit-packed encode AND the width-grouped vectorized decode
+    end-to-end."""
+    from engine.config import IndexConfig
+    from engine.postings import build_posting_blocks_local, decode_postings
+
+    cfg = IndexConfig(codec="pfor")
+    return decode_postings(
+        build_posting_blocks_local(_docs(spark, sf_dir), cfg=cfg), codec="pfor"
+    )
+
+
 def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k answered from the compressed index, not the raw corpus."""
     from engine.postings import build_posting_blocks_local
@@ -453,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_store": _q_bm25_topk_store,
         "upsert_last_wins": _q_upsert_last_wins,
         "postings_roundtrip": _q_postings_roundtrip,
+        "postings_roundtrip_pfor": _q_postings_roundtrip_pfor,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "quality_features": _q_quality_features,
         "token_count_bpe": _q_token_count,
@@ -501,6 +517,12 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "table"], k=20, conjunctive=True
         ),
         "postings_roundtrip": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents),
+            tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, {_DLEN} AS dl FROM documents)
+            SELECT term, tf.doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
+        """,
+        "postings_roundtrip_pfor": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents),
             tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term),
             dl AS (SELECT doc_id, {_DLEN} AS dl FROM documents)

@@ -33,7 +33,8 @@ def main() -> None:
     headline = [
         "term_frequencies", "doc_lengths", "doc_frequencies", "corpus_stats",
         "bm25_topk", "bm25_topk_conjunctive", "bm25_topk_wand",
-        "bm25_topk_store", "postings_roundtrip", "bm25_topk_indexed",
+        "bm25_topk_store", "postings_roundtrip", "postings_roundtrip_pfor",
+        "bm25_topk_indexed",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",

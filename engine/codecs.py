@@ -1,12 +1,25 @@
-"""Posting-block codecs: delta + varint (LEB128), fully numpy-vectorized.
+"""Posting-block codecs: delta + varint (LEB128) and per-block FOR
+bit-packing ("pfor"), fully numpy-vectorized.
 
 Re-implements, from scratch, the compressed posting-list representation the
 reference gets for free from Lucene inside Elasticsearch 5.5
 (/root/reference/build.gradle:42): per-term postings sorted by docID,
-delta-encoded, varint-compressed, in fixed-size blocks with block-max
-metadata (Lucene block postings / impacts). No per-element Python loops:
-encode/decode are O(max_varint_len)=10 vectorized numpy passes, Arrow-friendly
-for use inside pandas UDFs (BASELINE.json: "no per-row Python").
+delta-encoded, compressed, in fixed-size blocks with block-max metadata
+(Lucene block postings / impacts). Two block codecs:
+
+- "varint": LEB128, self-delimiting per value (the default).
+- "pfor": per-block frame-of-reference binary packing — one width byte
+  (the bit length of the block's max value) then all values packed at
+  that width, LSB-first. This is the unpatched base of the PForDelta
+  family (Zukowski et al. 2006; Lucene's BP variant is the same shape);
+  exception patching adds marginal gains on skewed blocks and is left
+  as future work. Both encode AND decode vectorize ACROSS blocks by
+  grouping on the width byte — at most 64 numpy passes per batch, never
+  a per-block Python loop.
+
+No per-element Python loops anywhere: encode/decode are a handful of
+vectorized numpy passes, Arrow-friendly for use inside pandas UDFs
+(BASELINE.json: "no per-row Python").
 """
 
 from __future__ import annotations
@@ -91,34 +104,143 @@ def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, b
     )
 
 
-def decode_posting_block(docs_bytes: bytes, tfs_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of encode_posting_block -> (int64 doc_ids, int64 tfs)."""
-    return delta_decode(varint_decode(docs_bytes)), varint_decode(tfs_bytes).astype(
-        np.int64
+def decode_posting_block(
+    docs_bytes: bytes, tfs_bytes: bytes, codec: str = "varint", n: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_posting_block -> (int64 doc_ids, int64 tfs).
+    `n` (postings in the block) is required for codec='pfor'."""
+    if codec == "varint":
+        return delta_decode(varint_decode(docs_bytes)), varint_decode(
+            tfs_bytes
+        ).astype(np.int64)
+    return (
+        delta_decode(decode_value_stream(docs_bytes, n, codec)),
+        decode_value_stream(tfs_bytes, n, codec).astype(np.int64),
     )
 
 
+# ---------------------------------------------------------------------------
+# "pfor": per-block FOR binary packing (unpatched PForDelta base)
+# ---------------------------------------------------------------------------
+
+_POW2 = np.array([np.uint64(1) << np.uint64(k) for k in range(1, 64)], dtype=np.uint64)
+
+
+def _bit_widths(values: np.ndarray) -> np.ndarray:
+    """Exact bit length of each uint64 (0 for 0) — threshold comparisons,
+    no float log (exact for the full uint64 range)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return ((v[:, None] >= _POW2[None, :]).sum(axis=1) + (v > 0)).astype(np.int64)
+
+
+def pfor_pack_blocks(
+    values: np.ndarray, b_starts: np.ndarray, b_ends: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Pack `values` into per-block FOR buffers -> (buf, per-block lengths).
+
+    Block i covers values[b_starts[i]:b_ends[i]]; its buffer is
+    [width:1 byte][ceil(n_i*width/8) payload bytes], payload bits LSB-first
+    (numpy packbits/unpackbits bitorder='little'). Buffers tile `buf`
+    consecutively, so callers slice by the returned lengths — the same
+    whole-flush single-buffer contract as varint_encode_with_lengths."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    b_starts = np.ascontiguousarray(b_starts, dtype=np.int64)
+    ns = np.ascontiguousarray(b_ends, dtype=np.int64) - b_starts
+    nb = len(b_starts)
+    if nb == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    widths = _bit_widths(np.maximum.reduceat(v, b_starts)) if v.size else np.zeros(nb, dtype=np.int64)
+    lens = (ns * widths + 7) // 8 + 1
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    total = int(offs[-1])
+    header = np.zeros(total, dtype=np.uint8)
+    header[offs[:-1]] = widths.astype(np.uint8)
+    if v.size == 0 or int(widths.max()) == 0:
+        return header.tobytes(), lens
+    bits = np.zeros(total * 8, dtype=np.uint8)
+    local = np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns)
+    w_rep = np.repeat(widths, ns)
+    base = np.repeat((offs[:-1] + 1) * 8, ns) + local * w_rep
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = w_rep == w
+        k = np.arange(w, dtype=np.uint64)
+        bitmat = ((v[sel][:, None] >> k[None, :]) & np.uint64(1)).astype(np.uint8)
+        pos = base[sel][:, None] + np.arange(w, dtype=np.int64)[None, :]
+        bits[pos.ravel()] = bitmat.ravel()
+    packed = np.packbits(bits, bitorder="little")
+    return (header | packed[:total]).tobytes(), lens
+
+
+def pfor_unpack_blocks(bufs, ns: np.ndarray) -> np.ndarray:
+    """Inverse of pfor_pack_blocks over MANY per-block buffers -> flat uint64
+    values of length ns.sum(). Vectorized across blocks (grouped by width)."""
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    if len(ns) == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(ns))
+    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    widths = raw[offs[:-1]].astype(np.int64)
+    expect = (ns * widths + 7) // 8 + 1
+    if not np.array_equal(expect, lens):
+        raise ValueError("pfor block corruption: header width disagrees with buffer size")
+    total = int(ns.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if total == 0 or int(widths.max()) == 0:
+        return out
+    starts = np.concatenate(([0], np.cumsum(ns[:-1])))
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, ns)
+    w_rep = np.repeat(widths, ns)
+    base = np.repeat((offs[:-1] + 1) * 8, ns) + local * w_rep
+    bits = np.unpackbits(raw, bitorder="little")
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = w_rep == w
+        pos = base[sel][:, None] + np.arange(w, dtype=np.int64)[None, :]
+        vals = (bits[pos].astype(np.uint64) << np.arange(w, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[sel] = vals
+    return out
+
+
+def decode_value_stream(buf: bytes, n: int, codec: str = "varint") -> np.ndarray:
+    """Decode ONE block's value buffer -> uint64 array (WAND per-range path)."""
+    if codec == "varint":
+        return varint_decode(buf)
+    return pfor_unpack_blocks([buf], np.array([n], dtype=np.int64))
+
+
 def decode_posting_blocks_batch(
-    doc_bufs, tf_bufs, dl_bufs, ns: np.ndarray
+    doc_bufs, tf_bufs, dl_bufs, ns: np.ndarray, codec: str = "varint"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode MANY posting blocks in one vectorized pass.
 
     Varint is self-delimiting, so the per-block buffers concatenate into one
     stream that decodes to the concatenated values; `ns` (postings per block)
-    then segments the flat arrays. Doc ids come from a segmented cumsum over
-    the per-block-restarted deltas: global cumsum minus the cumsum value at
-    each block's start (the block's first delta is the absolute first doc id,
-    mirroring `_encode_term_major`). Replaces a per-block Python loop with
-    ~6 numpy passes over the whole batch — the decode half of the encoder's
-    `varint_encode_with_lengths` single-buffer design.
+    then segments the flat arrays. pfor buffers are self-describing (width
+    header byte + ns), decoded by width-grouped passes. Doc ids come from a
+    segmented cumsum over the per-block-restarted deltas: global cumsum minus
+    the cumsum value at each block's start (the block's first delta is the
+    absolute first doc id, mirroring `_encode_term_major`). Replaces a
+    per-block Python loop with a handful of numpy passes over the whole
+    batch — the decode half of the encoder's single-buffer design.
 
     Returns (doc_ids int64, tfs int64, dls int64), each of length ns.sum().
     """
     ns = np.ascontiguousarray(ns, dtype=np.int64)
     total = int(ns.sum())
-    deltas = varint_decode(b"".join(doc_bufs)).astype(np.int64)
-    tfs = varint_decode(b"".join(tf_bufs)).astype(np.int64)
-    dls = varint_decode(b"".join(dl_bufs)).astype(np.int64)
+    if codec == "pfor":
+        deltas = pfor_unpack_blocks(doc_bufs, ns).astype(np.int64)
+        tfs = pfor_unpack_blocks(tf_bufs, ns).astype(np.int64)
+        dls = pfor_unpack_blocks(dl_bufs, ns).astype(np.int64)
+    else:
+        deltas = varint_decode(b"".join(doc_bufs)).astype(np.int64)
+        tfs = varint_decode(b"".join(tf_bufs)).astype(np.int64)
+        dls = varint_decode(b"".join(dl_bufs)).astype(np.int64)
     if not (len(deltas) == len(tfs) == len(dls) == total):
         raise ValueError(
             f"posting block corruption: n says {total} postings, decoded "

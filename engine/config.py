@@ -37,6 +37,10 @@ class IndexConfig:
 
     # Posting-list block encoding (Lucene-style block postings)
     block_size: int = 128
+    # posting-block value codec: "varint" (LEB128, default) or "pfor"
+    # (per-block FOR bit-packing, engine/codecs.py). A store records its
+    # codec in _meta.json at create(); all its segments share it.
+    codec: str = "varint"
 
     # Micro-ingest batch sizing (reference: 1 MiB/partition poll bound,
     # jobs/ConsumerManager.java:52-55). We bound by rows.

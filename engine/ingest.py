@@ -275,6 +275,13 @@ def _process_window_body(
     pre_extracted: bool = False,
 ) -> BatchResult | None:
     t0 = time.monotonic()
+    # the STORE's codec wins over cfg (a store's segments must all share
+    # one block codec; _meta.json records it at create time)
+    store_codec = store.codec
+    if cfg.codec != store_codec:
+        from dataclasses import replace as _dc_replace
+
+        cfg = _dc_replace(cfg, codec=store_codec)
     stage_t: dict[str, float] = {}
 
     def mark(name: str, since: list) -> None:

@@ -133,8 +133,15 @@ def _merge_segments_body(
         # a shuffled semi-join against the live set. dl travels in the
         # blocks; routed blocks are routing-pure, so decode replicates
         # `routing` per posting and no join is needed to recover it.
+        codec = store.codec
+        if cfg.codec != codec:
+            from dataclasses import replace as _dc_replace
+
+            cfg = _dc_replace(cfg, codec=codec)
         postings_long = decode_postings(
-            store.postings(spark, inputs), keep_cols=("routing",) if routed else ()
+            store.postings(spark, inputs),
+            keep_cols=("routing",) if routed else (),
+            codec=codec,
         )
         if n_dead == 0:
             merged_tf_dl = postings_long

@@ -93,6 +93,18 @@ def _out_arrow_schema(routed: bool):
     return pa.schema(fields)
 
 
+def _bin_col_block_lens(buf: bytes, block_lens: np.ndarray):
+    """Zero-copy binary column from per-BLOCK buffer lengths (pfor path —
+    the codec returns one self-describing buffer per block already)."""
+    import pyarrow as pa
+
+    offs = np.concatenate(([0], np.cumsum(block_lens))).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(block_lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+    )
+
+
 def _bin_col(buf: bytes, val_off: np.ndarray, b_starts: np.ndarray):
     """Zero-copy binary column: blocks tile the value range consecutively,
     so the per-block byte offsets are just val_off at block boundaries."""
@@ -108,7 +120,7 @@ def _bin_col(buf: bytes, val_off: np.ndarray, b_starts: np.ndarray):
 
 def _encode_term_major(
     uniq, code: np.ndarray, doc: np.ndarray, tf: np.ndarray, dl: np.ndarray,
-    block_size: int, routing, out_schema, routed: bool,
+    block_size: int, routing, out_schema, routed: bool, codec: str = "varint",
 ):
     """Postings already in (term-run, doc asc) order -> one block RecordBatch.
 
@@ -139,21 +151,34 @@ def _encode_term_major(
     np.subtract(doc[1:], doc[:-1], out=deltas[1:])
     deltas[b_starts] = doc[b_starts]
 
-    d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
-    t_buf, t_len = varint_encode_with_lengths(tf.astype(np.uint64))
-    l_buf, l_len = varint_encode_with_lengths(dl.astype(np.uint64))
-    d_off = np.concatenate(([0], np.cumsum(d_len)))
-    t_off = np.concatenate(([0], np.cumsum(t_len)))
-    l_off = np.concatenate(([0], np.cumsum(l_len)))
+    if codec == "pfor":
+        from engine.codecs import pfor_pack_blocks
+
+        d_buf, d_blen = pfor_pack_blocks(deltas.astype(np.uint64), b_starts, b_ends)
+        t_buf, t_blen = pfor_pack_blocks(tf.astype(np.uint64), b_starts, b_ends)
+        l_buf, l_blen = pfor_pack_blocks(dl.astype(np.uint64), b_starts, b_ends)
+        d_col = _bin_col_block_lens(d_buf, d_blen)
+        t_col = _bin_col_block_lens(t_buf, t_blen)
+        l_col = _bin_col_block_lens(l_buf, l_blen)
+    else:
+        d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
+        t_buf, t_len = varint_encode_with_lengths(tf.astype(np.uint64))
+        l_buf, l_len = varint_encode_with_lengths(dl.astype(np.uint64))
+        d_off = np.concatenate(([0], np.cumsum(d_len)))
+        t_off = np.concatenate(([0], np.cumsum(t_len)))
+        l_off = np.concatenate(([0], np.cumsum(l_len)))
+        d_col = _bin_col(d_buf, d_off, b_starts)
+        t_col = _bin_col(t_buf, t_off, b_starts)
+        l_col = _bin_col(l_buf, l_off, b_starts)
 
     arrays = [
         pc.take(uniq, pa.array(code[b_starts], type=pa.int64())),
         pa.array((b_ends - b_starts).astype(np.int32), type=pa.int32()),
         pa.array(doc[b_starts], type=pa.int64()),
         pa.array(doc[b_ends - 1], type=pa.int64()),
-        _bin_col(d_buf, d_off, b_starts),
-        _bin_col(t_buf, t_off, b_starts),
-        _bin_col(l_buf, l_off, b_starts),
+        d_col,
+        t_col,
+        l_col,
         pa.array(np.maximum.reduceat(tf, b_starts).astype(np.int32), type=pa.int32()),
         pa.array(np.minimum.reduceat(dl, b_starts).astype(np.int32), type=pa.int32()),
     ]
@@ -220,6 +245,7 @@ def build_posting_blocks(
             routing,
             out_schema,
             routed,
+            codec=cfg.codec,
         )
 
     def enc(batches):
@@ -339,6 +365,7 @@ def build_posting_blocks_local(
     sel = sel.sortWithinPartitions(*sort_cols)
 
     block_size = cfg.block_size
+    codec = cfg.codec
     out_schema = _out_arrow_schema(bool(routing_col))
 
     def flush(ids_arr: np.ndarray, text_chunks: list, routing) -> pa.RecordBatch | None:
@@ -395,6 +422,7 @@ def build_posting_blocks_local(
         return _encode_term_major(
             uniq, code[o2], doc[o2], tf[o2], dl[o2],
             block_size, routing, out_schema, bool(routing_col),
+            codec=codec,
         )
 
     def enc(batches):
@@ -459,12 +487,16 @@ def term_stats(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
 
 
-def decode_postings(postings: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+def decode_postings(
+    postings: DataFrame, keep_cols: tuple[str, ...] = (), codec: str = "varint"
+) -> DataFrame:
     """Block rows -> long form (term, doc_id, tf, dl); vectorized decode.
 
     `keep_cols`: block-level string columns (e.g. `routing`) replicated onto
     every decoded posting — blocks are routing-pure, so the value is exact
-    and the merge path needs no join back to the doc table to recover it."""
+    and the merge path needs no join back to the doc table to recover it.
+    `codec` must match what the blocks were encoded with (a store records
+    its codec in _meta.json)."""
     keep = tuple(keep_cols)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -479,7 +511,7 @@ def decode_postings(postings: DataFrame, keep_cols: tuple[str, ...] = ()) -> Dat
             # the flat decode, np.repeat replicates the block-level columns
             ns = b["n"].to_numpy().astype(np.int64)
             docs, tfs, dls = decode_posting_blocks_batch(
-                b["doc_bytes"], b["tf_bytes"], b["dl_bytes"], ns
+                b["doc_bytes"], b["tf_bytes"], b["dl_bytes"], ns, codec=codec
             )
             out = {
                 "term": np.repeat(b["term"].to_numpy(), ns),

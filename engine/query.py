@@ -143,6 +143,7 @@ def bm25_topk_from_index(
     conjunctive: bool = False,
     live_docs: DataFrame | None = None,
     excluded_doc_ids=None,
+    codec: str = "varint",
 ) -> DataFrame:
     """Exact BM25 top-k over a prebuilt block-postings index.
 
@@ -162,7 +163,7 @@ def bm25_topk_from_index(
 
     q_terms = sorted(set(query_terms))
     cand = postings.where(F.col("term").isin(q_terms))
-    tf = decode_postings(cand)
+    tf = decode_postings(cand, codec=codec)
     dfreq = term_stats(cand)  # df(t) = sum of block n per term — exact
     if live_docs is not None:
         tf = tf.join(live_docs.select("doc_id"), "doc_id", "left_semi")
@@ -253,6 +254,7 @@ def search_store(
         cfg=cfg,
         conjunctive=conjunctive,
         live_docs=live,
+        codec=store.codec,
     )
 
 
@@ -303,6 +305,7 @@ def search_via_alias(
         cfg=cfg,
         conjunctive=conjunctive,
         live_docs=restrict,
+        codec=store.codec,
     )
 
 
@@ -327,6 +330,7 @@ class IndexReader:
         from engine.merge import live_doc_ids
 
         self.stats = self.store.global_stats()
+        self._codec = self.store.codec
         self.postings = self.store.postings(self.spark).cache()
         # term stats stay a (cached) DataFrame — never collected whole: a
         # web-scale vocabulary is 10^8+ terms and would OOM the driver. Each
@@ -394,6 +398,7 @@ class IndexReader:
             conjunctive=conjunctive,
             live_docs=self._live_docs_df(),
             excluded_doc_ids=None if self._deleted_overflow else self.deleted,
+            codec=self._codec,
         )
 
     def _live_docs_df(self):
@@ -428,6 +433,7 @@ class IndexReader:
             cfg=self.cfg,
             doc_id_hwm=self.doc_id_hwm,
             excluded_doc_ids=self.deleted or None,
+            codec=self._codec,
         )
 
 

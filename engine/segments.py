@@ -82,7 +82,7 @@ class IndexStore:
         _atomic_write_json(
             os.path.join(self.path, "_meta.json"),
             {"name": self.name, "k1": self.cfg.k1, "b": self.cfg.b,
-             "block_size": self.cfg.block_size},
+             "block_size": self.cfg.block_size, "codec": self.cfg.codec},
         )
         if not os.path.exists(os.path.join(self.path, "_aliases.json")):
             _atomic_write_json(os.path.join(self.path, "_aliases.json"), {})
@@ -106,6 +106,18 @@ class IndexStore:
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_meta.json"))
+
+    @property
+    def codec(self) -> str:
+        """Posting-block codec this store was created with ("varint" for
+        stores predating the codec field). Every segment of a store shares
+        one codec; ingest/merge/query all resolve it from here."""
+        mp = os.path.join(self.path, "_meta.json")
+        try:
+            with open(mp) as f:
+                return json.load(f).get("codec", "varint")
+        except FileNotFoundError:
+            return "varint"
 
     # -- ledger ---------------------------------------------------------------
     def ledger_entries(self) -> list[LedgerEntry]:

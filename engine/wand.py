@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.codecs import decode_posting_block, varint_decode
+from engine.codecs import decode_posting_block, decode_value_stream
 from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS, IndexConfig, plan_fanout
 
 _EPS = 1e-9
@@ -63,6 +63,7 @@ def _scan_partition(
     b: float,
     avgdl: float,
     excluded: frozenset | None = None,
+    codec: str = "varint",
 ) -> pd.DataFrame:
     """Exact top-k of one doc-range partition via the windowed block-max scan."""
     lo = int(pdf["range_lo"].iloc[0])
@@ -95,8 +96,13 @@ def _scan_partition(
         for i in act:
             if i not in decoded:
                 r = pdf.iloc[int(i)]
-                d, t = decode_posting_block(bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
-                dl = varint_decode(bytes(r["dl_bytes"])).astype(np.float64)
+                rn = int(r["n"])
+                d, t = decode_posting_block(
+                    bytes(r["doc_bytes"]), bytes(r["tf_bytes"]), codec=codec, n=rn
+                )
+                dl = decode_value_stream(
+                    bytes(r["dl_bytes"]), rn, codec
+                ).astype(np.float64)
                 idf = idf_map[r["term"]]
                 contrib = idf * (t / (t + k1 * (1.0 - b + b * dl / avgdl)))
                 decoded[i] = (d, contrib)
@@ -146,6 +152,7 @@ def wand_topk(
     num_ranges: int | None = None,
     doc_id_hwm: int | None = None,
     excluded_doc_ids: frozenset | None = None,
+    codec: str = "varint",
 ) -> DataFrame:
     """Block-max top-k over POSTINGS_SCHEMA blocks.
 
@@ -187,7 +194,7 @@ def wand_topk(
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         return _scan_partition(
-            pdf, idf_map, k, cfg.k1, cfg.b, float(avgdl), excluded
+            pdf, idf_map, k, cfg.k1, cfg.b, float(avgdl), excluded, codec
         )
 
     local = with_rng.groupBy("rng").applyInPandas(
@@ -254,4 +261,5 @@ def search_store_wand(
         num_ranges=num_ranges,
         doc_id_hwm=store.next_doc_id_base(),
         excluded_doc_ids=excluded,
+        codec=store.codec,
     )

@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--merge-factor", type=int, default=0,
                     help="merge all live segments when count reaches this (0=never)")
+    ap.add_argument("--codec", default="varint", choices=["varint", "pfor"],
+                    help="posting-block codec recorded at store create "
+                         "(existing stores keep theirs)")
     args = ap.parse_args()
 
     from engine.corpus import webpages
@@ -59,7 +62,10 @@ def main() -> None:
         corpus = webpages(spark, args.docs)
     source = as_partitioned_source(corpus, args.source_partitions)
 
-    store = IndexStore(args.index_root, args.index)
+    from engine.config import IndexConfig
+
+    store = IndexStore(args.index_root, args.index,
+                       cfg=IndexConfig(codec=args.codec))
     if not store.exists():
         store.create()
 

@@ -125,3 +125,68 @@ def test_compression_is_compact():
     db, tb = encode_posting_block(docs, tfs)
     assert len(db) <= 2 + 127  # first id ≤2 bytes + 1-byte gaps
     assert len(tb) == 128
+
+
+# ---------------------------------------------------------------------------
+# pfor: per-block FOR bit-packing (unpatched PForDelta base)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                 min_size=1, max_size=40),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_pfor_roundtrip_blocks(blocks):
+    from engine.codecs import pfor_pack_blocks, pfor_unpack_blocks
+
+    flat = np.array([v for b in blocks for v in b], dtype=np.uint64)
+    ns = np.array([len(b) for b in blocks], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(ns[:-1])))
+    buf, lens = pfor_pack_blocks(flat, starts, starts + ns)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    bufs = [buf[offs[i]:offs[i + 1]] for i in range(len(ns))]
+    assert np.array_equal(pfor_unpack_blocks(bufs, ns), flat)
+
+
+def test_pfor_single_stream_and_corruption():
+    from engine.codecs import decode_value_stream, pfor_pack_blocks
+
+    vals = np.array([0, 1, 127, 128, 2**40, 2**63], dtype=np.uint64)
+    buf, lens = pfor_pack_blocks(
+        vals, np.array([0], dtype=np.int64), np.array([len(vals)], dtype=np.int64)
+    )
+    assert np.array_equal(decode_value_stream(bytes(buf), len(vals), "pfor"), vals)
+    # a truncated buffer must be rejected, not silently mis-decoded
+    with pytest.raises(ValueError, match="corruption"):
+        decode_value_stream(bytes(buf)[:-1], len(vals), "pfor")
+
+
+def test_pfor_all_zero_block_has_empty_payload():
+    from engine.codecs import pfor_pack_blocks, pfor_unpack_blocks
+
+    vals = np.zeros(200, dtype=np.uint64)
+    buf, lens = pfor_pack_blocks(
+        vals, np.array([0], dtype=np.int64), np.array([200], dtype=np.int64)
+    )
+    assert lens[0] == 1  # width byte only
+    assert np.array_equal(
+        pfor_unpack_blocks([buf], np.array([200], dtype=np.int64)), vals
+    )
+
+
+def test_decode_posting_block_pfor_needs_n():
+    from engine.codecs import decode_posting_block, pfor_pack_blocks
+
+    docs = np.array([3, 7, 20], dtype=np.int64)
+    tfs = np.array([1, 5, 2], dtype=np.uint64)
+    deltas = np.array([3, 4, 13], dtype=np.uint64)  # per-block-restarted
+    st0 = np.array([0], dtype=np.int64)
+    en0 = np.array([3], dtype=np.int64)
+    dbuf, _ = pfor_pack_blocks(deltas, st0, en0)
+    tbuf, _ = pfor_pack_blocks(tfs, st0, en0)
+    d, t = decode_posting_block(bytes(dbuf), bytes(tbuf), codec="pfor", n=3)
+    assert list(d) == [3, 7, 20] and list(t) == [1, 5, 2]

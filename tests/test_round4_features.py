@@ -350,3 +350,57 @@ def test_reader_exact_path_deleted_set_and_overflow_cache(spark, tmp_path):
     finally:
         reader.close()
     assert reader._live_cache is None  # close() released it
+
+
+# ---------------------------------------------------------------------------
+# pfor codec: store-level rank-identity with varint across every query path
+# ---------------------------------------------------------------------------
+
+
+def test_pfor_store_rank_identical_to_varint(spark, tmp_path):
+    from engine.config import IndexConfig
+    from engine.merge import merge_segments
+    from engine.query import IndexReader, search_store
+    from engine.wand import search_store_wand
+
+    src = as_partitioned_source(webpages(spark, 300, partitions=4), 4).cache()
+    terms = ["engine", "spark", "index"]
+    results = {}
+    for codec in ("varint", "pfor"):
+        store = IndexStore(
+            str(tmp_path / codec), codec, cfg=IndexConfig(codec=codec)
+        ).create()
+        run_ingest_loop(spark, store, src, rows_per_partition=25,
+                        start_option=EARLIEST)
+        assert store.codec == codec
+        exact = [(r["doc_id"], r["score"])
+                 for r in search_store(spark, store, terms, k=15).collect()]
+        wand = [(r["doc_id"], r["score"])
+                for r in search_store_wand(spark, store, terms, k=15).collect()]
+        merge_segments(spark, store)  # merge re-encodes with the store codec
+        merged = [(r["doc_id"], r["score"])
+                  for r in search_store(spark, store, terms, k=15).collect()]
+        reader = IndexReader(spark, store)
+        try:
+            rd = [(r["doc_id"], r["score"])
+                  for r in reader.search_wand(terms, k=15).collect()]
+        finally:
+            reader.close()
+        assert exact == wand == merged == rd
+        results[codec] = exact
+    assert results["varint"] == results["pfor"]
+
+
+def test_ingest_resolves_codec_from_store_meta(spark, tmp_path):
+    # a store created with pfor keeps pfor even when the caller's cfg says
+    # varint (the store's _meta.json wins — segments must share one codec)
+    from engine.config import IndexConfig
+    from engine.postings import decode_postings
+
+    store = IndexStore(str(tmp_path), "p", cfg=IndexConfig(codec="pfor")).create()
+    src = as_partitioned_source(webpages(spark, 60, partitions=2), 2)
+    run_ingest_loop(spark, store, src, rows_per_partition=30,
+                    start_option=EARLIEST, cfg=IndexConfig(codec="varint"))
+    # decoding the blocks as pfor works (i.e. they WERE written as pfor)
+    n = decode_postings(store.postings(spark), codec="pfor").count()
+    assert n > 0
