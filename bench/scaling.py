@@ -588,12 +588,16 @@ as its first.
     # the ratio is robust to slow drift even when neither cell is at its
     # all-time best. For each pair keep the quiet attempt if one exists,
     # else the best docs/s attempt.
+    # paired ratios are computed WITHIN one trial (same corpus size by
+    # construction), so unlike the best-of cells they stay valid across
+    # campaigns at different sizes — include every mode/size, labeled.
     paired_rows = []
     by_pair: dict = {}
-    for r in _kept_trials(trials):
-        if r.get("mode") != "weak" or "pair_id" not in r:
+    for r in trials:
+        if "pair_id" not in r:
             continue
-        cell = by_pair.setdefault(r["pair_id"], {}).get(r["cores"])
+        key = (r.get("mode", "strong"), r["pair_id"])
+        cell = by_pair.setdefault(key, {}).get(r["cores"])
         better = (
             cell is None
             or (r.get("quiet") and not cell.get("quiet"))
@@ -601,11 +605,12 @@ as its first.
                 and r["docs_per_sec"] > cell["docs_per_sec"])
         )
         if better:
-            by_pair[r["pair_id"]][r["cores"]] = r
+            by_pair[key][r["cores"]] = r
     best_paired = None
+    best_strong_pair = None
     quiet_effs = []
-    for pid in sorted(by_pair):
-        cells = by_pair[pid]
+    for mode, pid in sorted(by_pair):
+        cells = by_pair[(mode, pid)]
         lv = sorted(cells)
         if len(lv) < 2:
             continue
@@ -614,24 +619,36 @@ as its first.
             (cells[hi]["docs_per_sec"] / cells[lo]["docs_per_sec"]) / (hi / lo), 3
         )
         both_quiet = bool(cells[lo].get("quiet") and cells[hi].get("quiet"))
+        docs_desc = (
+            f"{cells[lo].get('docs', '?'):,}/level" if mode == "strong"
+            else f"{cells[lo].get('docs', '?'):,}->{cells[hi].get('docs', '?'):,}"
+        )
         paired_rows.append(
-            f"| {pid} | {lo}->{hi} | {cells[lo]['docs_per_sec']:,} "
+            f"| {pid} | {mode} | {docs_desc} | {lo}->{hi} "
+            f"| {cells[lo]['docs_per_sec']:,} "
             f"| {cells[hi]['docs_per_sec']:,} | **{eff}** "
             f"| {'yes' if both_quiet else 'no'} |"
         )
-        if both_quiet:
+        if both_quiet and mode == "weak":
             quiet_effs.append(eff)
             if best_paired is None or eff > best_paired[1]:
                 best_paired = (pid, eff)
+        if both_quiet and mode == "strong" and lo == 8 and hi == 32:
+            if best_strong_pair is None or eff > best_strong_pair[0]:
+                best_strong_pair = (eff, cells[lo].get("docs"))
     paired_md = ""
     if paired_rows:
         paired_md = (
-            "\n## Paired weak-scaling trials (same-trial ratio)\n\n"
+            "\n## Paired trials (same-trial N -> 4N ratio)\n\n"
             "Each row is ONE trial's two levels run back-to-back; the ratio\n"
-            "cancels slow environmental drift. `both quiet` = neither cell\n"
-            "saw an external wave (load gates above).\n\n"
-            "| pair | levels | docs/s lo | docs/s hi | efficiency | both quiet |\n"
-            "|---|---|---|---|---|---|\n" + "\n".join(paired_rows) + "\n"
+            "cancels slow environmental drift, and (unlike the best-of\n"
+            "cells) stays valid across campaigns at different corpus sizes\n"
+            "— strong pairs at several sizes show how per-batch fixed cost\n"
+            "amortizes with input. `both quiet` = the in-run machine-speed\n"
+            "probe stayed healthy in BOTH cells.\n\n"
+            "| pair | mode | docs | levels | docs/s lo | docs/s hi "
+            "| efficiency | both quiet |\n"
+            "|---|---|---|---|---|---|---|---|\n" + "\n".join(paired_rows) + "\n"
         )
 
     s28 = _eff(reports, "strong", 2, 8)
@@ -673,6 +690,14 @@ as its first.
             f"external noisy-neighbor waves recorded per trial "
             f"(load1_before/after in trials.jsonl) — read them as environment, "
             f"not plan behavior."
+            + (
+                f" Best measured quiet PAIRED strong 8->32: "
+                f"**{best_strong_pair[0]}** at {best_strong_pair[1]:,} "
+                f"docs/level vs the ~0.72 machine ceiling — per-batch fixed "
+                f"cost amortizing with input exactly as the eventlog "
+                f"attribution below predicts (paired table)."
+                if best_strong_pair else ""
+            )
         )
 
     with open(out, "w") as f:
