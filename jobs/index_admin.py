@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--index-root", required=True)
         if need_index:
             p.add_argument("--index", required=True)
+        p.add_argument("--codec", default="varint", choices=["varint", "pfor"],
+                       help="posting-block codec recorded at create "
+                            "(ignored for existing indexes)")
 
     add_common(sub.add_parser("create"))
     add_common(sub.add_parser("delete"))
@@ -79,7 +82,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"indexes": discover_indexes(args.index_root)}))
         return 0
 
-    store = IndexStore(args.index_root, args.index)
+    from engine.config import IndexConfig
+
+    store = IndexStore(args.index_root, args.index,
+                       cfg=IndexConfig(codec=getattr(args, "codec", "varint")))
     if args.cmd == "create-and-alias":
         existed = store.exists()
         store.create_and_alias(args.alias, *_parse_filter(args.filter),
