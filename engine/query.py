@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 from engine.analysis import tokens
 from engine.config import SCORE_DECIMALS, TOKEN_PATTERN, IndexConfig, DEFAULT_CONFIG
 
+# Largest superseded-doc set expressed as a literal NOT IN filter; beyond
+# this the exact path switches to a broadcast anti-join (a plan with 10^5+
+# literals chokes Catalyst long before max_deleted_driver's 10^6 cap).
+MAX_EXCLUDED_LITERALS = 10_000
+
 
 def corpus_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, term) one row per token occurrence — the exploded stream."""
@@ -168,7 +173,17 @@ def bm25_topk_from_index(
     if live_docs is not None:
         tf = tf.join(live_docs.select("doc_id"), "doc_id", "left_semi")
     elif excluded_doc_ids:
-        tf = tf.where(~F.col("doc_id").isin(list(excluded_doc_ids)))
+        # literal NOT IN only for sets small enough to live in the plan; a
+        # big set becomes a broadcast anti-join (same semantics, no
+        # million-literal Catalyst expression)
+        if len(excluded_doc_ids) <= MAX_EXCLUDED_LITERALS:
+            tf = tf.where(~F.col("doc_id").isin(list(excluded_doc_ids)))
+        else:
+            spark = tf.sparkSession
+            dead = spark.createDataFrame(
+                [(int(d),) for d in excluded_doc_ids], "doc_id long"
+            )
+            tf = tf.join(F.broadcast(dead), "doc_id", "left_anti")
 
     matched = tf.join(F.broadcast(dfreq), "term")
     idf = F.log(

@@ -69,6 +69,14 @@ def _scan_partition(
     lo = int(pdf["range_lo"].iloc[0])
     hi = int(pdf["range_hi"].iloc[0])
 
+    # materialize + sort the exclusion set ONCE per partition: the window
+    # loop runs many times and list(frozenset) + isin's internal sort per
+    # window is O(|excluded| log |excluded|) each time
+    excl_arr = (
+        np.sort(np.fromiter(excluded, dtype=np.int64, count=len(excluded)))
+        if excluded else None
+    )
+
     terms = pdf["term"].to_numpy()
     mins = np.maximum(pdf["min_doc"].to_numpy(np.int64), lo)
     maxs = np.minimum(pdf["max_doc"].to_numpy(np.int64), hi)
@@ -116,8 +124,12 @@ def _scan_partition(
             continue
         ids = np.concatenate(ids_parts)
         scs = np.concatenate(sc_parts)
-        if excluded:
-            keep = ~np.isin(ids, list(excluded))
+        if excl_arr is not None:
+            # ids may repeat across terms but each is in-range; searchsorted
+            # membership against the pre-sorted exclusion array
+            pos = np.searchsorted(excl_arr, ids)
+            pos[pos == len(excl_arr)] = 0
+            keep = excl_arr[pos] != ids if len(excl_arr) else np.ones(len(ids), bool)
             ids, scs = ids[keep], scs[keep]
             if ids.size == 0:
                 continue

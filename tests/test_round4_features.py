@@ -404,3 +404,38 @@ def test_ingest_resolves_codec_from_store_meta(spark, tmp_path):
     # decoding the blocks as pfor works (i.e. they WERE written as pfor)
     n = decode_postings(store.postings(spark), codec="pfor").count()
     assert n > 0
+
+
+def test_reader_big_deleted_set_uses_anti_join_not_literals(spark):
+    # a deleted set past MAX_EXCLUDED_LITERALS must not become a 10^5-literal
+    # Catalyst expression — same results via broadcast anti-join
+    from engine.postings import build_posting_blocks_local
+    from engine.query import MAX_EXCLUDED_LITERALS, bm25_topk_from_index
+
+    docs = webpages(spark, 120, partitions=2).select(
+        F.col("row_id").alias("doc_id"), "text"
+    )
+    blocks = build_posting_blocks_local(docs).cache()
+    terms = ["engine", "spark"]
+    small = frozenset(range(5))
+    # same LIVE exclusions as `small`, padded past the literal threshold
+    # with ids that do not exist in the index (>= 120)
+    big = small | frozenset(range(1000, 1000 + MAX_EXCLUDED_LITERALS + 50))
+    assert len(big) > MAX_EXCLUDED_LITERALS
+    kw = dict(n_docs=120, avgdl=60.0, query_terms=terms, k=10)
+    via_literals = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(
+            blocks, excluded_doc_ids=small, **kw
+        ).collect()
+    ]
+    via_join = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(blocks, excluded_doc_ids=big, **kw).collect()
+    ]
+    assert via_literals and via_join == via_literals
+    assert all(d not in small for d, _ in via_join)
+    plan = bm25_topk_from_index(
+        blocks, excluded_doc_ids=big, **kw
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan  # big set became a join, not 10^4+ literals
