@@ -161,6 +161,11 @@ def resolve_start_offsets_per_partition(
     need_latest = d_opt == LATEST or any(
         o == LATEST for o, _ in per_partition.values()
     )
+    # a CUSTOM default must reach EVERY source partition, including ones
+    # absent from the ledger and the per-partition map (fresh store with
+    # `default:CUSTOM:n` in the options file) — that needs the partition
+    # universe, which the LATEST scan provides
+    need_latest = need_latest or d_opt == CUSTOM
     latest: dict[int, int] = {}
     if need_latest:
         rows = (
@@ -381,8 +386,14 @@ def _process_window_body(
             n_docs = int(sum(int(r["_cnt"]) for r in agg_rows))
             sum_dl = int(sum(int(r["_sdl"] or 0) for r in agg_rows))
             if routed:
+                # skip null routing values — the parquet writer puts those
+                # docs under __HIVE_DEFAULT_PARTITION__, so a "None" stats
+                # key would claim docs no routed scan can find (matches the
+                # window-strategy branch's `is not None` filter below)
                 routing_stats = {}
                 for r in agg_rows:
+                    if r[cfg.routing_col] is None:
+                        continue
                     v = str(r[cfg.routing_col])
                     d = routing_stats.setdefault(v, {"n_docs": 0, "sum_dl": 0})
                     d["n_docs"] += int(r["_cnt"])

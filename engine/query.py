@@ -218,6 +218,7 @@ def search_store(
     routing: str | None = None,
     routing_key=None,
     num_shards: int | None = None,
+    routing_key_dtype: str | None = None,
 ) -> DataFrame:
     """BM25 top-k over a persisted multi-segment index (engine.segments).
 
@@ -249,7 +250,11 @@ def search_store(
             raise ValueError("routing_key requires num_shards")
         from engine.assign import routing_for
 
-        routing = routing_for(spark, routing_key, num_shards)
+        # xxhash64 is type-sensitive: a store sharded on a non-string
+        # column needs the key hashed as that type (routing_key_dtype,
+        # e.g. "bigint"), or the derived shard silently misses
+        routing = routing_for(spark, routing_key, num_shards,
+                              dtype=routing_key_dtype)
     if routing is not None:
         stats = store.routing_global_stats(routing)
         postings = store.postings_routed(spark, routing)

@@ -30,15 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _parse_filter(raw_filter: str | None) -> tuple[str | None, object]:
     """`col=value` -> (col, typed value): a numeric filter stored as "1"
-    would lean on implicit casts at query time."""
+    would lean on implicit casts at query time. Coercion is ROUND-TRIP-SAFE
+    only: '02134' / '007' / '1e3' keep their string form (a zip-code-style
+    string column must match exactly, not via a lossy int cast)."""
     if not raw_filter:
         return None, None
     col, _, raw = raw_filter.partition("=")
     val: object = raw
     for cast in (int, float):
         try:
-            val = cast(raw)
-            break
+            c = cast(raw)
+            if str(c) == raw:
+                val = c
+                break
         except ValueError:
             pass
     return col, val

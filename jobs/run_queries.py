@@ -37,6 +37,10 @@ def main() -> None:
                          "derived with the same hash the write path used "
                          "(ES client-side routing); requires --num-shards")
     ap.add_argument("--num-shards", type=int, default=None)
+    ap.add_argument("--routing-key-type", default=None,
+                    help="Spark type of the sharded column when non-string "
+                         "(e.g. bigint): xxhash64 is type-sensitive, so the "
+                         "key must be hashed as the column's type")
     ap.add_argument("--alias", default=None,
                     help="search through a (filtered/routed) alias (S11): "
                          "the alias's routing value prunes the scan and its "
@@ -58,7 +62,8 @@ def main() -> None:
             ap.error("pass either --routing or --routing-key, not both")
         if not args.num_shards:
             ap.error("--routing-key requires --num-shards")
-        args.routing = routing_for(spark, args.routing_key, args.num_shards)
+        args.routing = routing_for(spark, args.routing_key, args.num_shards,
+                                   dtype=args.routing_key_type)
     # query-server mode: open the index once (cached postings, resolved
     # stats/live-docs), serve all queries from the held-open reader
     direct = args.routing is None and args.alias is None

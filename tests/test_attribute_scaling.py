@@ -65,3 +65,31 @@ def test_analyze_slices_to_window(tmp_path):
     # occupancy = 4s run / (60s * 8 cores), rounded to 3 decimals
     assert out["core_occupancy"] == round(4.0 / 480.0, 3)
     assert out["top_stages"][0]["name"] == "mapInArrow"
+
+
+def test_analyze_clips_edge_spanning_jobs(tmp_path):
+    # a job overlapping a window edge contributes its in-window part only
+    # (review finding r04: start-time-only slicing could make driver_gap_s
+    # negative or count a fully-busy window as pure gap)
+    t0, t1 = 1_000_000, 1_060_000
+    events = [
+        # spans the LEADING edge: submitted 10s before t0, ends 20s in
+        {"Event": "SparkListenerJobStart", "Job ID": 1,
+         "Submission Time": t0 - 10_000},
+        {"Event": "SparkListenerJobEnd", "Job ID": 1,
+         "Completion Time": t0 + 20_000},
+        # spans the TRAILING edge: submitted 50s in, ends 30s after t1
+        {"Event": "SparkListenerJobStart", "Job ID": 2,
+         "Submission Time": t0 + 50_000},
+        {"Event": "SparkListenerJobEnd", "Job ID": 2,
+         "Completion Time": t1 + 30_000},
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    with open(d / "events_1_app", "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+    out = analyze(str(d), t0, t1, cores=8)
+    assert out["n_jobs"] == 2
+    assert out["job_covered_s"] == 30.0  # 20s leading + 10s trailing
+    assert out["driver_gap_s"] == 30.0  # never negative, never 60

@@ -439,3 +439,12 @@ def test_reader_big_deleted_set_uses_anti_join_not_literals(spark):
         blocks, excluded_doc_ids=big, **kw
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plan  # big set became a join, not 10^4+ literals
+
+
+def test_default_custom_reaches_unledgered_partitions(spark, source, store):
+    # fresh store + `default:CUSTOM:n` (review finding r04): every source
+    # partition must seek, not just ones present in ledger/per-partition map
+    hwm = resolve_start_offsets_per_partition(
+        store, source, default=(CUSTOM, 10), per_partition={1: (EARLIEST, 0)}
+    )
+    assert hwm == {0: 9, 2: 9, 3: 9}  # partition 1 starts at 0 (absent)

@@ -78,9 +78,11 @@ def analyze(d: str, t0: int, t1: int, cores: int) -> dict:
             continue
         e = ev.get("Event")
         if e == "SparkListenerJobStart":
-            ts = ev.get("Submission Time", 0)
-            if t0 <= ts <= t1:
-                jobs[ev["Job ID"]] = [ts, None]
+            # keep every job; overlap with [t0, t1] is decided (and the
+            # interval clipped) after both endpoints are known — a job
+            # spanning a window edge must contribute its in-window part,
+            # not be dropped or counted whole (review finding r04)
+            jobs[ev["Job ID"]] = [ev.get("Submission Time", 0), None]
         elif e == "SparkListenerJobEnd":
             if ev.get("Job ID") in jobs:
                 jobs[ev["Job ID"]][1] = ev.get("Completion Time")
@@ -112,12 +114,17 @@ def analyze(d: str, t0: int, t1: int, cores: int) -> dict:
             m["fetch_wait"] += sr.get("Fetch Wait Time", 0) / 1000.0
 
     window_s = (t1 - t0) / 1000.0
-    job_iv = [(s, e) for s, e in jobs.values() if e is not None]
+    # clip each job interval to the window; drop jobs fully outside it
+    job_iv = [
+        (max(s, t0), min(e, t1))
+        for s, e in jobs.values()
+        if e is not None and e > t0 and s < t1
+    ]
     covered_s = _merge_intervals(job_iv) / 1000.0
     out = {
         "cores": cores,
         "window_s": round(window_s, 2),
-        "n_jobs": len(jobs),
+        "n_jobs": len(job_iv),
         "job_covered_s": round(covered_s, 2),
         "driver_gap_s": round(window_s - covered_s, 2),
         "n_tasks": m["n_tasks"],
