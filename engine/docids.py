@@ -24,6 +24,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def literal_long_map(mapping: dict[int, int], key_col: str):
+    """int->long dict as a LITERAL map-lookup expression, NULL for absent
+    keys. Zero Spark jobs — a broadcast join here would cost one
+    broadcast-build job per downstream action; the map is O(len(mapping))
+    driver-side constants and downstream predicates stay pushable. Used
+    for per-partition doc-id bases and committed-offset windows (both
+    bounded by the partition count, never data-sized)."""
+    if not mapping:
+        return F.lit(None).cast("long")
+    return F.element_at(
+        F.create_map(
+            *[
+                x
+                for k, v in mapping.items()
+                for x in (F.lit(int(k)), F.lit(int(v)).cast("long"))
+            ]
+        ),
+        F.col(key_col),
+    )
+
+
+def prefix_sum_bases(counts: dict[int, int], base: int) -> dict[int, int]:
+    """Per-partition dense doc-id bases from per-partition counts: bases in
+    ascending partition order, starting at `base`."""
+    bases, acc = {}, base
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    return bases
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -75,10 +106,7 @@ def assign_doc_ids(
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    bases, acc = {}, base
-    for pid in sorted(counts):
-        bases[pid] = acc
-        acc += counts[pid]
+    bases = prefix_sum_bases(counts, base)
     base_df = df.sparkSession.createDataFrame(
         [(pid, b) for pid, b in bases.items()], "_pid int, _base long"
     )
@@ -158,27 +186,8 @@ def dedup_assign_ids_ranged(
     counts: dict[int, int] = {}
     for r in agg_rows:
         counts[r["_pid"]] = counts.get(r["_pid"], 0) + int(r["_cnt"])
-    bases, acc = {}, base
-    for pid in sorted(counts):
-        bases[pid] = acc
-        acc += counts[pid]
-    # prefix-sum bases as a LITERAL map expression — a broadcast-join here
-    # would cost one broadcast-build job per downstream action on the
-    # result; the map is O(partitions) driver-side constants, zero jobs
-    base_expr = (
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for p, b in bases.items()
-                    for x in (F.lit(int(p)), F.lit(int(b)).cast("long"))
-                ]
-            ),
-            F.col("_pid"),
-        )
-        if bases
-        else F.lit(None).cast("long")
-    )
+    bases = prefix_sum_bases(counts, base)
+    base_expr = literal_long_map(bases, "_pid")
     docs_ided = (
         with_pid.withColumn(
             "doc_id", (base_expr + F.col("_lidx")).cast("long")

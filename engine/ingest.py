@@ -38,6 +38,7 @@ from engine.docids import (
     assign_doc_ids,
     dedup_assign_ids_ranged,
     dedup_last_write_wins,
+    literal_long_map,
 )
 from engine.postings import build_posting_blocks_local
 from engine.segments import IndexStore, LedgerEntry
@@ -206,22 +207,11 @@ def ingest_batch(
 
     # per-partition committed offsets as a LITERAL map predicate — a
     # broadcast join here costs one broadcast-build job per batch (~0.4s
-    # fixed, eventlog attribution in BENCH/NOTES.md); the map is
-    # O(#kafka-partitions) driver-side constants and the filter stays a
+    # fixed, eventlog attribution in BENCH/NOTES.md); the filter stays a
     # plain pushable predicate on (part_id, row_offset)
     if hwm:
         committed = F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[
-                        x
-                        for p, o in hwm.items()
-                        for x in (F.lit(int(p)), F.lit(int(o)).cast("long"))
-                    ]
-                ),
-                F.col("part_id"),
-            ),
-            F.lit(-1),
+            literal_long_map(hwm, "part_id"), F.lit(-1)
         )
     else:
         committed = F.lit(-1)
