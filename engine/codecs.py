@@ -248,11 +248,34 @@ def decode_posting_blocks_batch(
         )
     if total == 0:
         return deltas, tfs, dls
+    return _segmented_doc_ids(deltas, ns), tfs, dls
+
+
+def _segmented_doc_ids(deltas: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    """Per-block-restarted deltas -> absolute doc ids: global cumsum minus
+    the cumsum value at each block's start."""
     csum = np.cumsum(deltas)
     starts = np.empty(len(ns), dtype=np.int64)
     starts[0] = 0
     np.cumsum(ns[:-1], out=starts[1:])
     prev = np.zeros(len(ns), dtype=np.int64)
     prev[1:] = csum[starts[1:] - 1]
-    docs = csum - np.repeat(prev, ns)
-    return docs, tfs, dls
+    return csum - np.repeat(prev, ns)
+
+
+def decode_doc_ids_batch(doc_bufs, ns: np.ndarray, codec: str = "varint") -> np.ndarray:
+    """Doc ids only, for MANY blocks — the WAND range-assignment path needs
+    positions but not tf/dl, so the other two streams stay undecoded."""
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if codec == "pfor":
+        deltas = pfor_unpack_blocks(doc_bufs, ns).astype(np.int64)
+    else:
+        deltas = varint_decode(b"".join(doc_bufs)).astype(np.int64)
+    if len(deltas) != total:
+        raise ValueError(
+            f"posting block corruption: n says {total} doc ids, decoded {len(deltas)}"
+        )
+    if total == 0:
+        return deltas
+    return _segmented_doc_ids(deltas, ns)

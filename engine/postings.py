@@ -93,11 +93,48 @@ def _out_arrow_schema(routed: bool):
     return pa.schema(fields)
 
 
+def iter_routing_runs(col):
+    """Runs of equal routing value in an Arrow column sorted by routing ->
+    yields (start, end, value). NULL-safe: null slots become index -1 (a
+    doc with null routing is its own run with value None and lands under
+    the hive default partition) — dictionary_encode indices with nulls
+    otherwise convert to float64 NaN and crash int() (review finding r04).
+    Shared by both posting builders' run-walks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+    bounds = np.concatenate(
+        ([0], np.flatnonzero(idx[1:] != idx[:-1]) + 1, [len(idx)])
+    )
+    for s, e in zip(bounds, bounds[1:]):
+        code = int(idx[s])
+        yield int(s), int(e), (
+            None if code < 0 else enc.dictionary[code].as_py()
+        )
+
+
+def _check_flush_bytes(n: int) -> None:
+    """pa.binary() offsets are int32: one encoded flush past 2 GiB would
+    wrap silently into corrupt blocks. A flush that big means flush_docs /
+    bucket_postings is mis-sized for the corpus (e.g. book-length docs) —
+    fail loudly with the knob to turn."""
+    if n > (1 << 31) - 1:
+        raise ValueError(
+            f"encoded posting flush is {n} bytes (> int32 offset range); "
+            "lower flush_docs / bucket_postings so one flush stays under 2 GiB"
+        )
+
+
 def _bin_col_block_lens(buf: bytes, block_lens: np.ndarray):
     """Zero-copy binary column from per-BLOCK buffer lengths (pfor path —
     the codec returns one self-describing buffer per block already)."""
     import pyarrow as pa
 
+    _check_flush_bytes(len(buf))
     offs = np.concatenate(([0], np.cumsum(block_lens))).astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(block_lens),
@@ -110,6 +147,7 @@ def _bin_col(buf: bytes, val_off: np.ndarray, b_starts: np.ndarray):
     so the per-block byte offsets are just val_off at block boundaries."""
     import pyarrow as pa
 
+    _check_flush_bytes(len(buf))
     n_blocks = len(b_starts)
     offs = val_off[np.append(b_starts, len(val_off) - 1)].astype(np.int32)
     return pa.Array.from_buffers(
@@ -282,14 +320,8 @@ def build_posting_blocks(
             if routed:
                 # input sorted by (routing, term, doc): walk runs of equal
                 # routing so every flush covers exactly one routing value
-                r_enc = pc.dictionary_encode(b.column(r_col))
-                r_idx = np.asarray(r_enc.indices)
-                bounds = np.concatenate(
-                    ([0], np.flatnonzero(r_idx[1:] != r_idx[:-1]) + 1, [len(r_idx)])
-                )
-                for s, e in zip(bounds, bounds[1:]):
-                    rv = r_enc.dictionary[int(r_idx[s])].as_py()
-                    for rb in feed(data.slice(int(s), int(e - s)), rv):
+                for s, e, rv in iter_routing_runs(b.column(r_col)):
+                    for rb in feed(data.slice(s, e - s), rv):
                         if rb is not None:
                             yield rb
             else:
@@ -445,13 +477,7 @@ def build_posting_blocks_local(
             if routing_col:
                 # input sorted by (_routing, doc_id): walk runs of equal
                 # routing so every flush covers exactly one routing value
-                r_enc = pc.dictionary_encode(b.column(2))
-                r_idx = np.asarray(r_enc.indices)
-                bounds = np.concatenate(
-                    ([0], np.flatnonzero(r_idx[1:] != r_idx[:-1]) + 1, [len(r_idx)])
-                )
-                for s, e in zip(bounds, bounds[1:]):
-                    rv = r_enc.dictionary[int(r_idx[s])].as_py()
+                for s, e, rv in iter_routing_runs(b.column(2)):
                     if buf_n and rv != cur_routing:
                         rb = do_flush()
                         if rb is not None:

@@ -46,6 +46,18 @@ from engine.config import DEFAULT_CONFIG, IndexConfig
 DOCS_SCHEMA_COLS = ["doc_id", "url", "doc_len", "warc_ts", "lang", "part_id", "row_offset"]
 
 
+def _unescape_hive(suffix: str) -> str | None:
+    """Hive partition-directory suffix -> true partition value. Spark
+    escapes special chars (: / % = # etc.) as %XX and writes nulls under
+    __HIVE_DEFAULT_PARTITION__; path-level listing must decode, or a value
+    like "en:US" never matches its own directory."""
+    if suffix == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(suffix)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -79,11 +91,16 @@ class IndexStore:
     def create(self) -> "IndexStore":
         os.makedirs(os.path.join(self.path, "segments"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "ledger"), exist_ok=True)
-        _atomic_write_json(
-            os.path.join(self.path, "_meta.json"),
-            {"name": self.name, "k1": self.cfg.k1, "b": self.cfg.b,
-             "block_size": self.cfg.block_size, "codec": self.cfg.codec},
-        )
+        # create is idempotent on an EXISTING store (reference createIndex
+        # no-op guard): never rewrite _meta.json — a re-create with a
+        # different cfg would silently switch the store's codec and make
+        # every existing segment undecodable (review finding r04)
+        if not os.path.exists(os.path.join(self.path, "_meta.json")):
+            _atomic_write_json(
+                os.path.join(self.path, "_meta.json"),
+                {"name": self.name, "k1": self.cfg.k1, "b": self.cfg.b,
+                 "block_size": self.cfg.block_size, "codec": self.cfg.codec},
+            )
         if not os.path.exists(os.path.join(self.path, "_aliases.json")):
             _atomic_write_json(os.path.join(self.path, "_aliases.json"), {})
         return self
@@ -294,18 +311,22 @@ class IndexStore:
         # `routing` prunes at PATH-LISTING time: only that value's leaf
         # directories are ever handed to the reader (stronger than a
         # partition filter — non-matching files are never even listed)
-        by_routing: dict[str, list[str]] = {}
+        # directory suffixes are HIVE-ESCAPED (%XX for : / % = etc.; nulls
+        # land under __HIVE_DEFAULT_PARTITION__) — compare and label with
+        # the DECODED value, or a routing value like "en:US" silently
+        # matches nothing once a second segment exists (review finding r04)
+        by_routing: dict[str | None, list[str]] = {}
         for p in paths:
             if not os.path.isdir(p):
                 continue
             for d in os.listdir(p):
                 if d.startswith("routing="):
-                    rv = d[len("routing="):]
+                    rv = _unescape_hive(d[len("routing="):])
                     if routing is not None and rv != routing:
                         continue
                     by_routing.setdefault(rv, []).append(os.path.join(p, d))
         out = None
-        for rv in sorted(by_routing):
+        for rv in sorted(by_routing, key=lambda v: (v is None, v)):
             df = spark.read.option("mergeSchema", "false").parquet(*by_routing[rv])
             df = df.withColumn("routing", F.lit(rv).cast("string"))
             out = df if out is None else out.unionByName(df)

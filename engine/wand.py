@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import heapq
 import math
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -49,6 +50,11 @@ _EPS = 1e-9
 # then keep any window whose raw upper bound could still ROUND UP into a
 # tie with θ: margin = half the rounding quantum.
 _PRUNE_MARGIN = 0.5 * 10**-SCORE_DECIMALS + _EPS
+
+# Blocks spanning at most this many doc-id ranges replicate via
+# explode(sequence(...)) (zero decode); wider blocks decode their doc ids
+# once and emit exactly the ranges that contain a posting (<= n emits).
+SPAN_EXPLODE_MAX = 64
 
 
 def _idf(n_docs: float, df: float) -> float:
@@ -198,8 +204,40 @@ def wand_topk(
     width = max(1, -(-hwm // num_ranges))  # ceil div
     rng_lo = F.floor(F.col("min_doc") / F.lit(width)).cast("long")
     rng_hi = F.floor(F.col("max_doc") / F.lit(width)).cast("long")
+    # Replication strategy per block (a block must reach EVERY range where
+    # it has >=1 posting — partitions compute partial per-doc sums, so a
+    # missing block would under-score its docs):
+    # - dense span (few ranges): explode(sequence(lo, hi)) — zero decode.
+    # - wide span: a rare term's single block can span the whole doc-id
+    #   space; sequence() would replicate it span/width times (~2*10^7 at
+    #   10^12 docs). Decode its doc ids ONCE and emit exactly the ranges
+    #   that contain a posting — at most n per block.
+    span = rng_hi - rng_lo + F.lit(1)
+    dense = cand.where(span <= F.lit(SPAN_EXPLODE_MAX)).withColumn(
+        "rng", F.explode(F.sequence(rng_lo, rng_hi))
+    )
+    sparse_src = cand.where(span > F.lit(SPAN_EXPLODE_MAX))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
+    ) + ", rng long"
+
+    def assign_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from engine.codecs import decode_doc_ids_batch
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy().astype(np.int64)
+            docs = decode_doc_ids_batch(pdf["doc_bytes"], ns, codec=codec)
+            rngs = docs // width
+            block_idx = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+            pairs = np.unique(np.stack([block_idx, rngs]), axis=1)
+            out = pdf.iloc[pairs[0]].copy()
+            out["rng"] = pairs[1]
+            yield out
+
     with_rng = (
-        cand.withColumn("rng", F.explode(F.sequence(rng_lo, rng_hi)))
+        dense.unionByName(sparse_src.mapInPandas(assign_ranges, schema=out_schema))
         .withColumn("range_lo", F.col("rng") * F.lit(width))
         .withColumn("range_hi", F.col("rng") * F.lit(width) + F.lit(width - 1))
     )
