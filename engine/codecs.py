@@ -113,6 +113,8 @@ def decode_posting_block(
         return delta_decode(varint_decode(docs_bytes)), varint_decode(
             tfs_bytes
         ).astype(np.int64)
+    if n is None:
+        raise ValueError(f"n is required for codec={codec!r}")
     return (
         delta_decode(decode_value_stream(docs_bytes, n, codec)),
         decode_value_stream(tfs_bytes, n, codec).astype(np.int64),
@@ -145,10 +147,19 @@ def pfor_pack_blocks(
     whole-flush single-buffer contract as varint_encode_with_lengths."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     b_starts = np.ascontiguousarray(b_starts, dtype=np.int64)
-    ns = np.ascontiguousarray(b_ends, dtype=np.int64) - b_starts
+    b_ends = np.ascontiguousarray(b_ends, dtype=np.int64)
+    ns = b_ends - b_starts
     nb = len(b_starts)
     if nb == 0:
         return b"", np.empty(0, dtype=np.int64)
+    # contract: blocks tile `values` contiguously — reduceat and the local
+    # index math below silently assume it (ADVICE r04)
+    if not (
+        int(b_starts[0]) == 0
+        and np.array_equal(b_starts[1:], b_ends[:-1])
+        and int(b_ends[-1]) == v.size
+    ):
+        raise ValueError("pfor blocks must tile values contiguously")
     widths = _bit_widths(np.maximum.reduceat(v, b_starts)) if v.size else np.zeros(nb, dtype=np.int64)
     lens = (ns * widths + 7) // 8 + 1
     offs = np.concatenate(([0], np.cumsum(lens)))

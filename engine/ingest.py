@@ -398,13 +398,18 @@ def _process_window_body(
                 num_partitions=n_parts, cleanup=persisted,
             ).cache()
             persisted.append(docs_ided)
-            # one job: total + per-routing stats (rollup = a single agg)
+            # one job: total + per-routing stats (rollup = a single agg).
+            # grouping() — not `routing IS NULL` — selects the grand total:
+            # null-routing docs make the rollup emit TWO None rows (null
+            # subgroup + total) and a NULL filter picks one at random,
+            # corrupting the segment's n_docs/sum_dl (ADVICE r04).
             roll_cols = [cfg.routing_col] if routed else []
             stat_rows = (
                 docs_ided.rollup(*roll_cols)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum("n_tokens").alias("s"),
+                    *([F.grouping(cfg.routing_col).alias("_g")] if routed else []),
                 )
                 .collect()
             )
@@ -414,9 +419,9 @@ def _process_window_body(
                         "n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)
                     }
                     for r in stat_rows
-                    if r[cfg.routing_col] is not None
+                    if r["_g"] == 0 and r[cfg.routing_col] is not None
                 }
-                total = [r for r in stat_rows if r[cfg.routing_col] is None][0]
+                total = [r for r in stat_rows if r["_g"] == 1][0]
             else:
                 routing_stats = None
                 total = stat_rows[0]

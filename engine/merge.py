@@ -105,18 +105,26 @@ def _merge_segments_body(
         else:
             live = live_doc_ids(docs).cache()
             live_cached = live
-            # ONE action for total + per-routing stats (rollup)
+            # ONE action for total + per-routing stats (rollup). grouping()
+            # — not `routing IS NULL` — picks the grand total: with
+            # null-routing docs the rollup emits TWO routing=None rows (the
+            # null subgroup and the total) and a NULL filter would choose
+            # nondeterministically, corrupting avgdl (ADVICE r04).
             stat_rows = (
                 live.rollup(*(["routing"] if routed else []))
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                    *([F.grouping("routing").alias("_g")] if routed else []),
+                )
                 .collect()
             )
             if routed:
-                total = [r for r in stat_rows if r["routing"] is None][0]
+                total = [r for r in stat_rows if r["_g"] == 1][0]
                 routing_stats = {
                     r["routing"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
                     for r in stat_rows
-                    if r["routing"] is not None
+                    if r["_g"] == 0 and r["routing"] is not None
                 }
             else:
                 total = stat_rows[0]

@@ -52,15 +52,18 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    def add_common(p, need_index=True):
+    def add_common(p, need_index=True, creates=False):
         p.add_argument("--index-root", required=True)
         if need_index:
             p.add_argument("--index", required=True)
-        p.add_argument("--codec", default="varint", choices=["varint", "pfor"],
-                       help="posting-block codec recorded at create "
-                            "(ignored for existing indexes)")
+        if creates:
+            # only the creating subcommands take --codec — it is recorded at
+            # create time and has no effect anywhere else (ADVICE r04)
+            p.add_argument("--codec", default="varint",
+                           choices=["varint", "pfor"],
+                           help="posting-block codec recorded at create")
 
-    add_common(sub.add_parser("create"))
+    add_common(sub.add_parser("create"), creates=True)
     add_common(sub.add_parser("delete"))
     pa = sub.add_parser("alias")
     add_common(pa)
@@ -71,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     pca = sub.add_parser("create-and-alias",
                          help="one-call createIndexAndAlias "
                               "(ElasticSearchClientService.java:125-128)")
-    add_common(pca)
+    add_common(pca, creates=True)
     pca.add_argument("--alias", required=True)
     pca.add_argument("--filter", default=None, help="col=value term filter (S11)")
     pca.add_argument("--routing", default=None)
@@ -88,8 +91,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from engine.config import IndexConfig
 
-    store = IndexStore(args.index_root, args.index,
-                       cfg=IndexConfig(codec=getattr(args, "codec", "varint")))
+    codec = args.codec if args.cmd in ("create", "create-and-alias") else "varint"
+    store = IndexStore(args.index_root, args.index, cfg=IndexConfig(codec=codec))
     if args.cmd == "create-and-alias":
         existed = store.exists()
         store.create_and_alias(args.alias, *_parse_filter(args.filter),

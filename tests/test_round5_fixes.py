@@ -1,0 +1,94 @@
+"""Round-5 ADVICE regression tests: rollup grand-total selection with
+null-routing docs (merge + window-strategy ingest), pfor codec guards,
+--codec CLI scoping."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.config import IndexConfig
+from engine.corpus import webpages
+from engine.ingest import EARLIEST, as_partitioned_source, run_ingest_loop
+from engine.merge import merge_segments
+from engine.segments import IndexStore
+
+
+def _null_routed_pages(spark, n=90):
+    base = webpages(spark, n, partitions=2)
+    routed = (
+        F.when(F.col("row_id") % 3 == 0, F.lit("en"))
+        .when(F.col("row_id") % 3 == 1, F.lit("fr"))
+        .otherwise(F.lit(None))  # a third of docs carry NULL routing
+    )
+    return base.withColumn("routing", routed)
+
+
+def test_rollup_grand_total_with_null_routing(spark, tmp_path):
+    """ADVICE r04 (medium): with null-routing docs, rollup('routing') emits
+    TWO routing=None rows (null subgroup + grand total); selecting the total
+    by `routing IS NULL` picks one nondeterministically and can record the
+    null subgroup's n_docs/sum_dl as segment totals, corrupting avgdl.
+    grouping()==1 must select the true total in BOTH the window-strategy
+    ingest branch and the merge stats path."""
+    cfg = IndexConfig(routing_col="routing", docid_strategy="window")
+    pages = _null_routed_pages(spark)
+    src = as_partitioned_source(pages, 2)
+    store = IndexStore(str(tmp_path), "nr").create()
+    run_ingest_loop(spark, store, src, rows_per_partition=60,
+                    start_option=EARLIEST, cfg=cfg)
+
+    docs = store.docs(spark)
+    n_live = docs.count()
+    sum_dl = int(docs.agg(F.sum("doc_len")).collect()[0][0])
+    st = store.global_stats()
+    # the null subgroup is a strict subset of the corpus: picking it as the
+    # total would make these equalities fail
+    assert st["n_docs"] == n_live
+    assert st["sum_dl"] == sum_dl
+
+    # second EARLIEST pass re-ingests every page (pure upserts) -> the merge
+    # sees dead superseded docs and takes its rollup stats path
+    run_ingest_loop(spark, store, as_partitioned_source(pages, 2),
+                    rows_per_partition=60, start_option=EARLIEST, cfg=cfg)
+    merge_segments(spark, store, cfg=cfg)
+    st2 = store.global_stats()
+    assert st2["n_docs"] == n_live
+    assert st2["sum_dl"] == sum_dl
+    # per-routing stats exclude the NULL key but keep the real values
+    assert set(store.routing_values()) == {"en", "fr"}
+
+
+def test_pfor_requires_n():
+    from engine.codecs import decode_posting_block, encode_posting_block
+
+    docs = np.array([3, 7, 20], dtype=np.int64)
+    tfs = np.array([1, 2, 1], dtype=np.int64)
+    db, tb = encode_posting_block(docs, tfs)
+    with pytest.raises(ValueError, match="n is required"):
+        decode_posting_block(db, tb, codec="pfor")
+
+
+def test_pfor_pack_rejects_non_contiguous_blocks():
+    from engine.codecs import pfor_pack_blocks
+
+    v = np.arange(10, dtype=np.uint64)
+    with pytest.raises(ValueError, match="contiguous"):
+        pfor_pack_blocks(v, np.array([0, 6]), np.array([5, 10]))
+    with pytest.raises(ValueError, match="contiguous"):
+        pfor_pack_blocks(v, np.array([0, 5]), np.array([5, 9]))
+
+
+def test_index_admin_codec_only_on_create(tmp_path):
+    from jobs.index_admin import main
+
+    # delete must not accept --codec any more
+    with pytest.raises(SystemExit):
+        main(["delete", "--index-root", str(tmp_path), "--index", "x",
+              "--codec", "pfor"])
+    # create records it
+    assert main(["create", "--index-root", str(tmp_path), "--index", "x",
+                 "--codec", "pfor"]) == 0
+    store = IndexStore(str(tmp_path), "x")
+    assert store.codec == "pfor"
