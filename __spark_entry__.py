@@ -551,9 +551,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _ts().fingerprint_oracle_sql(),
         "exact_duplicates": _dd().exact_duplicates_oracle_sql(),
         "ngram_jaccard_pairs": _dd().ngram_jaccard_oracle_sql(threshold=0.5, k=3),
-        # minhash_lsh_pairs / simhash_near_pairs / ann_lsh_topk: hash-family
-        # ops not expressible in ANSI SQL -> rows-only driver check; their
-        # strong checks (recall vs exact, determinism) live in tests/.
+        # the hash families are md5-derived since round 5, so ANSI SQL
+        # regenerates signatures / fingerprints / buckets bit-identically —
+        # full rows+schema+value-hash checks (VERDICT r04 item 1)
+        "minhash_lsh_pairs": _dd().minhash_lsh_oracle_sql(
+            num_perm=64, bands=16, k=3, threshold=0.5
+        ),
+        "simhash_near_pairs": _dd().simhash_oracle_sql(max_hamming=10),
+        "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
+            _ann_query_vec(), k=15, n_bits=12, n_probes=12
+        ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
         "filtered_alias_view": f"SELECT doc_id, lang, {_DLEN} AS doc_len FROM documents WHERE lang = 'en'",

@@ -245,3 +245,50 @@ class AnnIndex:
             .where(F.col("bucket").isin(buckets))
         )
         return cosine_topk(cand, query_vec, k=k)
+
+
+def ann_lsh_topk_oracle_sql(
+    query_vec: list[float], k: int = 10, n_bits: int = 16, n_probes: int = 8,
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Exact SQL twin of the LSH ANN query (VERDICT r04 item 1): the seeded
+    hyperplanes AND the multi-probe bucket list are pure functions of
+    (query_vec, n_bits, n_probes), so both are inlined as literals — the SQL
+    recomputes each vector's sign-bucket with the same planes, filters to
+    the probed buckets, and re-ranks by exact cosine. Float literals use
+    Python repr (exact round-trip), so both engines see identical doubles;
+    parallel unnest() columns zip positionally, mirroring zip_with."""
+    import math as _math
+
+    planes = _hyperplanes(len(query_vec), n_bits)
+    buckets = probe_buckets(query_vec, n_bits, n_probes)
+    q = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]::DOUBLE[]"
+    qn = _math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    plane_cols = ",\n         ".join(
+        "unnest(["
+        + ", ".join(f"{float(v)!r}" for v in planes[i])
+        + f"]::DOUBLE[]) AS b{i}"
+        for i in range(n_bits)
+    )
+    dot_cols = ", ".join(f"sum(a*b{i}) AS d{i}" for i in range(n_bits))
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    in_list = ", ".join(str(int(b)) for b in buckets)
+    return f"""
+WITH z AS (
+  SELECT {id_col} AS vec_id,
+         unnest({vec_col}::DOUBLE[]) AS a,
+         unnest({q}) AS q,
+         {plane_cols}
+  FROM {table}
+), s AS (
+  SELECT vec_id, sum(a*q) AS dot, sqrt(sum(a*a)) AS nrm, {dot_cols}
+  FROM z GROUP BY vec_id
+), b AS (
+  SELECT vec_id, dot, nrm, {bucket_expr} AS bucket FROM s
+)
+SELECT vec_id, round(dot / (greatest(nrm, 1e-12) * {qn!r}), {SCORE_DECIMALS}) AS cosine
+FROM b WHERE bucket IN ({in_list})
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""

@@ -218,7 +218,11 @@ def test_wand_derived_ranges_scale_with_corpus():
 
 
 def test_minhash_signatures_match_per_doc_reference(spark, docs_small):
-    from engine.dedup import _mix64, _perm_seeds, minhash_signatures, shingles
+    # per-doc reference: hashlib md5 (independent of Spark's F.md5),
+    # (h1 + i*h2) mod 2^60, pandas groupby min
+    import hashlib
+
+    from engine.dedup import minhash_signatures, shingles
 
     docs = docs_small.limit(40)
     num_perm, k = 16, 3
@@ -226,19 +230,22 @@ def test_minhash_signatures_match_per_doc_reference(spark, docs_small):
         r["doc_id"]: list(r["sig"])
         for r in minhash_signatures(docs, num_perm=num_perm, k=k).collect()
     }
-    # per-doc reference: same seeds, same JVM shingle hash, pandas groupby
-    seeds = _perm_seeds(num_perm)
-    sh = (
-        shingles(docs, k, "text", "doc_id")
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
-        .toPandas()
+    sh = shingles(docs, k, "text", "doc_id").toPandas()
+    perms = np.arange(num_perm, dtype=np.uint64)
+    mask = np.uint64((1 << 60) - 1)
+    hx = np.array(
+        [
+            [int(hashlib.md5(s.encode()).hexdigest()[0:15], 16),
+             int(hashlib.md5(s.encode()).hexdigest()[16:31], 16)]
+            for s in sh["shingle"]
+        ],
+        dtype=np.uint64,
     )
     want = {}
     for doc_id, grp in sh.groupby("doc_id"):
-        h = grp["h"].to_numpy(np.int64).view(np.uint64)
-        want[doc_id] = (
-            _mix64(h[:, None] ^ seeds[None, :]).min(axis=0).view(np.int64).tolist()
-        )
+        h = hx[grp.index.to_numpy()]
+        vals = (h[:, 0:1] + perms[None, :] * h[:, 1:2]) & mask
+        want[doc_id] = vals.min(axis=0).view(np.int64).tolist()
     assert got == want
 
 
