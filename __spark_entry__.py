@@ -107,6 +107,29 @@ def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TITLE_LEN = 8  # synthetic title = first 8 tokens of text (derived field)
+
+
+def _docs_with_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.analysis import tokens
+
+    return _docs(spark, sf_dir).withColumn(
+        "title", F.array_join(F.slice(tokens("text"), 1, _TITLE_LEN), " ")
+    )
+
+
+def _q_bm25_topk_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25 (ES most_fields, title^2 + text) with per-field
+    norms — the documents table has no title column, so a deterministic one
+    is derived (first 8 tokens) identically in the engine and the oracle."""
+    from engine.query import bm25_topk_fields
+
+    return bm25_topk_fields(
+        spark, _docs_with_title(spark, sf_dir), FLAGSHIP_TERMS,
+        [("title", 2.0), ("text", 1.0)], k=20,
+    )
+
+
 def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, _docs(spark, sf_dir), ["spark", "table"], k=20, conjunctive=True
@@ -463,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequencies": _q_doc_frequencies,
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_fields": _q_bm25_topk_fields,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
@@ -513,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, round(avg(doc_len), {SCORE_DECIMALS}) AS avgdl FROM dl
         """,
         "bm25_topk": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        "bm25_topk_fields": _bm25_fields_oracle(),
         "bm25_topk_conjunctive": bm25_topk_oracle_sql(
             ["spark", "table"], k=20, conjunctive=True
         ),
@@ -637,6 +662,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
     }
+
+
+def _bm25_fields_oracle() -> str:
+    from engine.query import bm25_fields_oracle_sql
+
+    title_expr = (
+        "array_to_string(regexp_extract_all(lower(coalesce(text, '')), "
+        f"'{TOKEN_PATTERN}')[1:{_TITLE_LEN}], ' ')"
+    )
+    return bm25_fields_oracle_sql(
+        FLAGSHIP_TERMS, [(title_expr, 2.0), ("text", 1.0)], k=20
+    )
 
 
 def _ts():

@@ -514,3 +514,115 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_topk_fields(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES-style multi-field BM25 ("most_fields"): score = sum over fields of
+    boost * that field's BM25, each field with its OWN tf/df/doc-length/avgdl
+    (per-field norms). The reference posts the whole JSON `_source` and ES
+    5.5 indexes every field (ElasticSearchBatchService.java:60), so a
+    reference user's `fields=["title^2","text"]` query is first-class here
+    too (VERDICT r04 "What's missing" #2).
+
+    `fields`: [(column_name, boost), ...] — each column holds that field's
+    text. Same scale shape as bm25_topk: the exploded token stream is
+    broadcast-semi-filtered to the query terms BEFORE any shuffle, df/stats
+    are tiny broadcast sides, top-k is a TakeOrderedAndProject."""
+    from functools import reduce
+
+    q_terms = sorted(set(query_terms))
+    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    parts = []
+    for field, boost in fields:
+        dl = doc_lengths(docs, id_col, field)
+        stats = corpus_stats(dl)
+        matched_tokens = corpus_tokens(docs, id_col, field).join(
+            F.broadcast(q), "term"
+        )
+        tf = matched_tokens.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        matched = (
+            tf.join(F.broadcast(dfreq), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(cfg.k1) * (
+            F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+        )
+        parts.append(
+            matched.select(
+                "doc_id",
+                (F.lit(float(boost)) * idf * (F.col("tf") / denom)).alias(
+                    "contrib"
+                ),
+            )
+        )
+    allc = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allc.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_fields_oracle_sql(
+    query_terms: list[str],
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin of bm25_topk_fields. `fields`: [(sql_expr, boost), ...] —
+    each sql_expr yields that field's text from a `table` row (e.g. 'text',
+    or a derived title expression), so the oracle re-derives synthetic
+    fields identically."""
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    blocks = []
+    scored_names = []
+    for i, (expr, boost) in enumerate(fields):
+        toks = f"regexp_extract_all(lower(coalesce({expr}, '')), '{TOKEN_PATTERN}')"
+        blocks.append(f"""
+f{i}_toks AS (SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}),
+f{i}_dl AS (SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}),
+f{i}_tf AS (SELECT doc_id, term, count(*) AS tf FROM f{i}_toks GROUP BY doc_id, term),
+f{i}_df AS (SELECT term, count(*) AS df FROM f{i}_tf GROUP BY term),
+f{i}_stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM f{i}_dl),
+f{i}_scored AS (
+  SELECT tf.doc_id,
+         sum( {float(boost)!r} * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / s.avgdl))) ) AS c
+  FROM f{i}_tf tf
+  JOIN q USING (term)
+  JOIN f{i}_df d USING (term)
+  JOIN f{i}_dl dl USING (doc_id)
+  CROSS JOIN f{i}_stats s
+  GROUP BY tf.doc_id
+)""")
+        scored_names.append(f"SELECT doc_id, c FROM f{i}_scored")
+    union = " UNION ALL ".join(scored_names)
+    ctes = ",".join(blocks)
+    return f"""
+WITH q(term) AS (VALUES {terms_values}),{ctes},
+allc AS ({union})
+SELECT doc_id, round(sum(c), {SCORE_DECIMALS}) AS score
+FROM allc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

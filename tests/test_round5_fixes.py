@@ -135,3 +135,35 @@ def test_lsh_cap_inert_on_normal_corpus(spark, docs_small):
     no_cap = {(r["id_a"], r["id_b"])
               for r in minhash_lsh_pairs(docs, max_bucket_size=None).collect()}
     assert with_cap == no_cap
+
+
+def test_bm25_fields_title_boost_ranks_title_hit_first(spark):
+    """Multi-field BM25 (title^2 + text, per-field norms): two docs with
+    the SAME body-field stats for the query term; the one whose derived
+    title (first tokens) also contains it must rank first."""
+    from engine.analysis import tokens
+    from engine.query import bm25_topk, bm25_topk_fields
+
+    filler = "the quick brown fox jumps over lazy dogs again and"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {filler} end"),          # 'alpha' inside the title
+            (2, f"{filler} alpha end"),          # 'alpha' only past token 8
+            (3, f"{filler} {filler} end"),       # no match
+        ],
+        "doc_id long, text string",
+    ).withColumn("title", F.array_join(F.slice(tokens("text"), 1, 8), " "))
+
+    both = bm25_topk_fields(
+        spark, docs, ["alpha"], [("title", 2.0), ("text", 1.0)], k=3
+    ).collect()
+    assert [r["doc_id"] for r in both][0] == 1
+    assert {r["doc_id"] for r in both} == {1, 2}  # doc 3 never matches
+
+    # body-only scoring can't separate docs 1 and 2 by much; the title field
+    # contributes a strictly positive extra component for doc 1
+    body_only = {r["doc_id"]: r["score"]
+                 for r in bm25_topk(spark, docs, ["alpha"], k=3).collect()}
+    fields = {r["doc_id"]: r["score"] for r in both}
+    assert fields[1] > body_only[1]          # title adds score
+    assert abs(fields[2] - body_only[2]) < 1e-9  # no title hit -> body only
