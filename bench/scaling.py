@@ -618,7 +618,21 @@ as its first.
         eff = round(
             (cells[hi]["docs_per_sec"] / cells[lo]["docs_per_sec"]) / (hi / lo), 3
         )
-        both_quiet = bool(cells[lo].get("quiet") and cells[hi].get("quiet"))
+        # leg-asymmetry guard (VERDICT r04 item 3): a pair is citable only if
+        # BOTH legs ran at comparable delivered machine speed — each leg's
+        # in-run probe p50 within 25% of the other's. A wave that hits one
+        # leg passes the per-leg quiet gate marginally yet skews the ratio
+        # (measured: the 800k 0.30-eff pair had leg p50s 19.3 vs 14.1 =
+        # 0.73; the citable 400k 0.54 pair had 21.1 vs 19.1 = 0.905).
+        p_lo = cells[lo].get("probe_p50_mops") or 0.0
+        p_hi = cells[hi].get("probe_p50_mops") or 0.0
+        legs_sym = (
+            p_lo > 0 and p_hi > 0 and min(p_lo, p_hi) / max(p_lo, p_hi) >= 0.75
+        )
+        sym_txt = f"{round(min(p_lo, p_hi) / max(p_lo, p_hi), 2)}" if p_lo and p_hi else "—"
+        both_quiet = bool(
+            cells[lo].get("quiet") and cells[hi].get("quiet") and legs_sym
+        )
         docs_desc = (
             f"{cells[lo].get('docs', '?'):,}/level" if mode == "strong"
             else f"{cells[lo].get('docs', '?'):,}->{cells[hi].get('docs', '?'):,}"
@@ -626,7 +640,7 @@ as its first.
         paired_rows.append(
             f"| {pid} | {mode} | {docs_desc} | {lo}->{hi} "
             f"| {cells[lo]['docs_per_sec']:,} "
-            f"| {cells[hi]['docs_per_sec']:,} | **{eff}** "
+            f"| {cells[hi]['docs_per_sec']:,} | **{eff}** | {sym_txt} "
             f"| {'yes' if both_quiet else 'no'} |"
         )
         if both_quiet and mode == "weak":
@@ -645,10 +659,13 @@ as its first.
             "cells) stays valid across campaigns at different corpus sizes\n"
             "— strong pairs at several sizes show how per-batch fixed cost\n"
             "amortizes with input. `both quiet` = the in-run machine-speed\n"
-            "probe stayed healthy in BOTH cells.\n\n"
+            "probe stayed healthy in BOTH cells AND the legs ran at\n"
+            "comparable delivered speed (`leg p50 ratio` = min/max of the\n"
+            "two legs' in-run probe p50, must be >= 0.75 — a wave on one\n"
+            "leg can't produce a citable-looking ratio).\n\n"
             "| pair | mode | docs | levels | docs/s lo | docs/s hi "
-            "| efficiency | both quiet |\n"
-            "|---|---|---|---|---|---|---|---|\n" + "\n".join(paired_rows) + "\n"
+            "| efficiency | leg p50 ratio | both quiet |\n"
+            "|---|---|---|---|---|---|---|---|---|\n" + "\n".join(paired_rows) + "\n"
         )
 
     s28 = _eff(reports, "strong", 2, 8)
