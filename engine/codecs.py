@@ -8,14 +8,19 @@ delta-encoded, compressed, in fixed-size blocks with block-max metadata
 (Lucene block postings / impacts). Two block codecs:
 
 - "varint": LEB128, self-delimiting per value (the default).
-- "pfor": per-block frame-of-reference binary packing — one width byte
-  (the bit length of the block's max value) then all values packed at
-  that width, LSB-first. This is the unpatched base of the PForDelta
-  family (Zukowski et al. 2006; Lucene's BP variant is the same shape);
-  exception patching adds marginal gains on skewed blocks and is left
-  as future work. Both encode AND decode vectorize ACROSS blocks by
-  grouping on the width byte — at most 64 numpy passes per batch, never
-  a per-block Python loop.
+- "pfor": per-block PATCHED frame-of-reference binary packing (the
+  PForDelta family, Zukowski et al. 2006 / NewPFD-style exception
+  patching). Per block: a base width `b` chosen per block by exact byte
+  cost between two candidates (the block max width = zero exceptions,
+  and the 90th-percentile width = at most n//10 exceptions), the low
+  `b` bits of ALL values packed LSB-first, then the exceptions — the
+  few values wider than `b` — as (position byte, varint high bits)
+  patches. One huge delta no longer forces the whole block wide.
+  Layout: [b:1][n_exc:1][payload ceil(n*b/8)][positions n_exc][highs
+  varint]. Both encode AND decode vectorize ACROSS blocks by grouping
+  on the width byte — at most 64 numpy passes per batch, never a
+  per-block Python loop; decode gathers 8-byte windows per value
+  (byte-level gather) instead of unpacking individual bits.
 
 No per-element Python loops anywhere: encode/decode are a handful of
 vectorized numpy passes, Arrow-friendly for use inside pandas UDFs
@@ -62,6 +67,8 @@ def varint_decode(data: bytes) -> np.ndarray:
     if not data:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(data, dtype=np.uint8)
+    if raw[-1] & 0x80:
+        raise ValueError("varint corruption: buffer ends mid-value")
     is_end = (raw & 0x80) == 0
     # value index of each byte: 0-based running count of terminators before it
     val_idx = np.concatenate(([0], np.cumsum(is_end)[:-1]))
@@ -122,10 +129,13 @@ def decode_posting_block(
 
 
 # ---------------------------------------------------------------------------
-# "pfor": per-block FOR binary packing (unpatched PForDelta base)
+# "pfor": per-block PATCHED frame-of-reference packing (PForDelta family)
 # ---------------------------------------------------------------------------
 
 _POW2 = np.array([np.uint64(1) << np.uint64(k) for k in range(1, 64)], dtype=np.uint64)
+
+# the percentile candidate allows at most n // _EXC_FRAC exceptions per block
+_EXC_FRAC = 10
 
 
 def _bit_widths(values: np.ndarray) -> np.ndarray:
@@ -135,16 +145,36 @@ def _bit_widths(values: np.ndarray) -> np.ndarray:
     return ((v[:, None] >= _POW2[None, :]).sum(axis=1) + (v > 0)).astype(np.int64)
 
 
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Per-element LEB128 byte length of a uint64 array."""
+    if v.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
+
+
+def _low_mask(w: int) -> np.uint64:
+    return np.uint64(0xFFFFFFFFFFFFFFFF) if w >= 64 else (
+        (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+    )
+
+
 def pfor_pack_blocks(
     values: np.ndarray, b_starts: np.ndarray, b_ends: np.ndarray
 ) -> tuple[bytes, np.ndarray]:
-    """Pack `values` into per-block FOR buffers -> (buf, per-block lengths).
+    """Pack `values` into per-block PATCHED-FOR buffers -> (buf, lengths).
 
     Block i covers values[b_starts[i]:b_ends[i]]; its buffer is
-    [width:1 byte][ceil(n_i*width/8) payload bytes], payload bits LSB-first
-    (numpy packbits/unpackbits bitorder='little'). Buffers tile `buf`
-    consecutively, so callers slice by the returned lengths — the same
-    whole-flush single-buffer contract as varint_encode_with_lengths."""
+    [b:1][n_exc:1][ceil(n_i*b/8) payload][n_exc position bytes][varint
+    highs], payload bits LSB-first (packbits bitorder='little'). The base
+    width `b` is chosen PER BLOCK by exact byte cost between two
+    candidates: the block-max width (zero exceptions — the unpatched FOR
+    layout) and the 90th-percentile width (at most n//10 values become
+    exceptions, each patched as (position within block, value >> b) —
+    so one huge delta no longer forces the whole block wide). The low
+    `b` bits of exception slots stay in the payload, keeping positions
+    regular. Buffers tile `buf` consecutively, so callers slice by the
+    returned lengths — the same whole-flush single-buffer contract as
+    varint_encode_with_lengths."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     b_starts = np.ascontiguousarray(b_starts, dtype=np.int64)
     b_ends = np.ascontiguousarray(b_ends, dtype=np.int64)
@@ -152,69 +182,181 @@ def pfor_pack_blocks(
     nb = len(b_starts)
     if nb == 0:
         return b"", np.empty(0, dtype=np.int64)
-    # contract: blocks tile `values` contiguously — reduceat and the local
-    # index math below silently assume it (ADVICE r04)
+    # contract: blocks tile `values` contiguously and are non-empty —
+    # reduceat and the local index math below silently assume it (ADVICE r04)
     if not (
         int(b_starts[0]) == 0
         and np.array_equal(b_starts[1:], b_ends[:-1])
         and int(b_ends[-1]) == v.size
+        and (ns > 0).all()
     ):
         raise ValueError("pfor blocks must tile values contiguously")
-    widths = _bit_widths(np.maximum.reduceat(v, b_starts)) if v.size else np.zeros(nb, dtype=np.int64)
-    lens = (ns * widths + 7) // 8 + 1
+    if int(ns.max()) > 255:
+        raise ValueError("pfor blocks are limited to 255 values (position byte)")
+
+    w = _bit_widths(v)
+    block_of = np.repeat(np.arange(nb, dtype=np.int64), ns)
+    b_max = np.maximum.reduceat(w, b_starts)
+    # candidate B: 90th-percentile width per block (sort widths within block)
+    order = np.lexsort((w, block_of))
+    w_sorted = w[order]
+    b_q = w_sorted[b_starts + (ns - 1 - ns // _EXC_FRAC)]
+    # exact byte cost of the patched candidate (the unpatched one is closed
+    # form); ties go to unpatched (simpler blocks, zero-exception decode)
+    bq_rep = np.repeat(b_q, ns)
+    exc_q = w > bq_rep
+    n_exc_q = np.bincount(block_of[exc_q], minlength=nb).astype(np.int64)
+    high_nb_q = _varint_nbytes(v[exc_q] >> bq_rep[exc_q].astype(np.uint64))
+    high_bytes_q = (
+        np.bincount(block_of[exc_q], weights=high_nb_q, minlength=nb).astype(np.int64)
+        if high_nb_q.size
+        else np.zeros(nb, dtype=np.int64)
+    )
+    cost_max = 2 + (ns * b_max + 7) // 8
+    cost_q = 2 + (ns * b_q + 7) // 8 + n_exc_q + high_bytes_q
+    use_q = cost_q < cost_max
+    b_blk = np.where(use_q, b_q, b_max)
+
+    b_rep = np.repeat(b_blk, ns)
+    exc = w > b_rep
+    n_exc = np.bincount(block_of[exc], minlength=nb).astype(np.int64)
+    highs = v[exc] >> b_rep[exc].astype(np.uint64)
+    high_buf, high_nb = varint_encode_with_lengths(highs)
+    high_bytes = (
+        np.bincount(block_of[exc], weights=high_nb, minlength=nb).astype(np.int64)
+        if highs.size
+        else np.zeros(nb, dtype=np.int64)
+    )
+    payload = (ns * b_blk + 7) // 8
+    lens = 2 + payload + n_exc + high_bytes
     offs = np.concatenate(([0], np.cumsum(lens)))
     total = int(offs[-1])
-    header = np.zeros(total, dtype=np.uint8)
-    header[offs[:-1]] = widths.astype(np.uint8)
-    if v.size == 0 or int(widths.max()) == 0:
-        return header.tobytes(), lens
-    bits = np.zeros(total * 8, dtype=np.uint8)
-    local = np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns)
-    w_rep = np.repeat(widths, ns)
-    base = np.repeat((offs[:-1] + 1) * 8, ns) + local * w_rep
-    for w in np.unique(widths):
-        if w == 0:
-            continue
-        sel = w_rep == w
-        k = np.arange(w, dtype=np.uint64)
-        bitmat = ((v[sel][:, None] >> k[None, :]) & np.uint64(1)).astype(np.uint8)
-        pos = base[sel][:, None] + np.arange(w, dtype=np.int64)[None, :]
-        bits[pos.ravel()] = bitmat.ravel()
-    packed = np.packbits(bits, bitorder="little")
-    return (header | packed[:total]).tobytes(), lens
+    out = np.zeros(total, dtype=np.uint8)
+    out[offs[:-1]] = b_blk.astype(np.uint8)
+    out[offs[:-1] + 1] = n_exc.astype(np.uint8)
+    if int(b_blk.max()) > 0:
+        bits = np.zeros(total * 8, dtype=np.uint8)
+        local = np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns)
+        base = np.repeat((offs[:-1] + 2) * 8, ns) + local * b_rep
+        for wdt in np.unique(b_blk):
+            if wdt == 0:
+                continue
+            sel = b_rep == wdt
+            k = np.arange(wdt, dtype=np.uint64)
+            vals_low = v[sel] & _low_mask(int(wdt))
+            bitmat = ((vals_low[:, None] >> k[None, :]) & np.uint64(1)).astype(np.uint8)
+            pos = base[sel][:, None] + np.arange(wdt, dtype=np.int64)[None, :]
+            bits[pos.ravel()] = bitmat.ravel()
+        out |= np.packbits(bits, bitorder="little")[:total]
+    tot_exc = int(n_exc.sum())
+    if tot_exc:
+        exc_block = block_of[exc]
+        exc_starts = np.concatenate(([0], np.cumsum(n_exc[:-1])))
+        exc_rank = np.arange(tot_exc, dtype=np.int64) - exc_starts[exc_block]
+        pos_start = offs[:-1] + 2 + payload
+        exc_local = (np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns))[exc]
+        out[pos_start[exc_block] + exc_rank] = exc_local.astype(np.uint8)
+        # highs are already in (block, position) order; scatter each varint's
+        # bytes to its block's high section (loop over byte index, <= 10)
+        high_arr = np.frombuffer(high_buf, dtype=np.uint8)
+        h_ends = np.cumsum(high_nb)
+        h_starts = h_ends - high_nb
+        blk_h0 = np.zeros(nb, dtype=np.int64)
+        has = n_exc > 0
+        blk_h0[has] = h_starts[exc_starts[has]]
+        dst = (pos_start + n_exc)[exc_block] + (h_starts - blk_h0[exc_block])
+        for bi in range(int(high_nb.max())):
+            m = high_nb > bi
+            out[dst[m] + bi] = high_arr[h_starts[m] + bi]
+    return out.tobytes(), lens
+
+
+def _gather_bits(padded: np.ndarray, base_bits: np.ndarray, w: int) -> np.ndarray:
+    """Gather `w`-bit LSB-first values at arbitrary bit offsets from a
+    zero-padded uint8 buffer via 8-byte window loads — a byte-level gather
+    (8 gathers + shifts per value) instead of unpacking every bit
+    (`w` gathers per value). Values wider than 57 bits can spill past the
+    8-byte window by up to 7 bits; those borrow the 9th byte."""
+    byte0 = base_bits >> 3
+    shift = (base_bits & 7).astype(np.uint64)
+    # gather each value's 8-byte window, then reinterpret the contiguous
+    # (m, 8) uint8 rows as little-endian uint64 words in one view — no
+    # per-byte shift/sum reduction
+    mat = padded[byte0[:, None] + np.arange(8, dtype=np.int64)[None, :]]
+    word = mat.view("<u8").ravel()
+    val = word >> shift
+    if w > 57:
+        need = shift > np.uint64(64 - w)
+        extra = padded[byte0 + 8].astype(np.uint64)
+        ext_shift = (np.uint64(64) - shift) % np.uint64(64)
+        val = np.where(need, val | (extra << ext_shift), val)
+    return val & _low_mask(w)
+
+
+def _concat_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Indices of the concatenation of ranges [starts[i], starts[i]+lengths[i])."""
+    tot = int(lengths.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    firsts = np.concatenate(([0], np.cumsum(lengths[:-1])))
+    within = np.arange(tot, dtype=np.int64) - np.repeat(firsts, lengths)
+    return np.repeat(starts, lengths) + within
 
 
 def pfor_unpack_blocks(bufs, ns: np.ndarray) -> np.ndarray:
     """Inverse of pfor_pack_blocks over MANY per-block buffers -> flat uint64
-    values of length ns.sum(). Vectorized across blocks (grouped by width)."""
+    values of length ns.sum(). Vectorized across blocks: payload values are
+    read with a byte-level gather grouped by base width, then the exception
+    patches (position byte + varint high bits) are OR-ed back in."""
     ns = np.ascontiguousarray(ns, dtype=np.int64)
     if len(ns) == 0:
         return np.empty(0, dtype=np.uint64)
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(ns))
     raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     offs = np.concatenate(([0], np.cumsum(lens)))
-    widths = raw[offs[:-1]].astype(np.int64)
-    expect = (ns * widths + 7) // 8 + 1
-    if not np.array_equal(expect, lens):
-        raise ValueError("pfor block corruption: header width disagrees with buffer size")
+    if (lens < 2).any():
+        raise ValueError("pfor block corruption: buffer shorter than header")
+    b_blk = raw[offs[:-1]].astype(np.int64)
+    n_exc = raw[offs[:-1] + 1].astype(np.int64)
+    payload = (ns * b_blk + 7) // 8
+    high_bytes = lens - 2 - payload - n_exc
+    if (high_bytes < 0).any() or ((n_exc > 0) & (high_bytes < n_exc)).any():
+        raise ValueError("pfor block corruption: sections exceed buffer size")
+    if ((n_exc == 0) & (high_bytes != 0)).any():
+        raise ValueError("pfor block corruption: trailing bytes after payload")
     total = int(ns.sum())
     out = np.zeros(total, dtype=np.uint64)
-    if total == 0 or int(widths.max()) == 0:
+    if total == 0:
         return out
     starts = np.concatenate(([0], np.cumsum(ns[:-1])))
-    local = np.arange(total, dtype=np.int64) - np.repeat(starts, ns)
-    w_rep = np.repeat(widths, ns)
-    base = np.repeat((offs[:-1] + 1) * 8, ns) + local * w_rep
-    bits = np.unpackbits(raw, bitorder="little")
-    for w in np.unique(widths):
-        if w == 0:
-            continue
-        sel = w_rep == w
-        pos = base[sel][:, None] + np.arange(w, dtype=np.int64)[None, :]
-        vals = (bits[pos].astype(np.uint64) << np.arange(w, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        out[sel] = vals
+    if int(b_blk.max()) > 0:
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, ns)
+        w_rep = np.repeat(b_blk, ns)
+        base = np.repeat((offs[:-1] + 2) * 8, ns) + local * w_rep
+        padded = np.concatenate([raw, np.zeros(16, dtype=np.uint8)])
+        for w in np.unique(b_blk):
+            if w == 0:
+                continue
+            sel = w_rep == w
+            out[sel] = _gather_bits(padded, base[sel], int(w))
+    tot_exc = int(n_exc.sum())
+    if tot_exc:
+        exc_starts = np.concatenate(([0], np.cumsum(n_exc[:-1])))
+        exc_block = np.repeat(np.arange(len(ns), dtype=np.int64), n_exc)
+        exc_rank = np.arange(tot_exc, dtype=np.int64) - exc_starts[exc_block]
+        pos_start = offs[:-1] + 2 + payload
+        exc_local = raw[pos_start[exc_block] + exc_rank].astype(np.int64)
+        if (exc_local >= ns[exc_block]).any():
+            raise ValueError("pfor block corruption: exception position out of range")
+        hsel = _concat_ranges(pos_start + n_exc, high_bytes)
+        highs = varint_decode(raw[hsel].tobytes())
+        if len(highs) != tot_exc:
+            raise ValueError(
+                f"pfor block corruption: {int(n_exc.sum())} exceptions declared, "
+                f"{len(highs)} high values decoded"
+            )
+        gidx = starts[exc_block] + exc_local
+        out[gidx] |= highs << np.repeat(b_blk, n_exc).astype(np.uint64)
     return out
 
 

@@ -172,7 +172,7 @@ def test_pfor_all_zero_block_has_empty_payload():
     buf, lens = pfor_pack_blocks(
         vals, np.array([0], dtype=np.int64), np.array([200], dtype=np.int64)
     )
-    assert lens[0] == 1  # width byte only
+    assert lens[0] == 2  # width byte + exception-count byte only
     assert np.array_equal(
         pfor_unpack_blocks([buf], np.array([200], dtype=np.int64)), vals
     )
@@ -190,3 +190,58 @@ def test_decode_posting_block_pfor_needs_n():
     tbuf, _ = pfor_pack_blocks(tfs, st0, en0)
     d, t = decode_posting_block(bytes(dbuf), bytes(tbuf), codec="pfor", n=3)
     assert list(d) == [3, 7, 20] and list(t) == [1, 5, 2]
+
+
+def test_pfor_exception_patching_shrinks_skewed_block():
+    """One huge delta among 128 small values must become an exception patch
+    instead of forcing the whole block to the outlier's width (VERDICT r04
+    item 4). Unpatched FOR would need 128 * 40 bits = 640 payload bytes;
+    patched needs ~128 * 3 bits + one patch."""
+    from engine.codecs import pfor_pack_blocks, pfor_unpack_blocks
+
+    vals = np.full(128, 5, dtype=np.uint64)
+    vals[70] = np.uint64(1) << np.uint64(40)
+    st = np.array([0], dtype=np.int64)
+    en = np.array([128], dtype=np.int64)
+    buf, lens = pfor_pack_blocks(vals, st, en)
+    unpatched_bytes = 2 + (128 * 41 + 7) // 8  # block-max width layout
+    assert lens[0] < unpatched_bytes / 5  # patching wins by a wide margin
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    assert raw[1] == 1  # exactly one exception recorded
+    assert np.array_equal(
+        pfor_unpack_blocks([buf], np.array([128], dtype=np.int64)), vals
+    )
+
+
+def test_pfor_uniform_block_keeps_zero_exceptions():
+    """A block whose values are all the same width must pick the unpatched
+    candidate (cost tie goes to zero exceptions)."""
+    from engine.codecs import pfor_pack_blocks
+
+    vals = np.arange(100, 228, dtype=np.uint64)  # all 8-bit
+    buf, lens = pfor_pack_blocks(
+        vals, np.array([0], dtype=np.int64), np.array([128], dtype=np.int64)
+    )
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    assert raw[0] == 8 and raw[1] == 0
+    assert lens[0] == 2 + 128  # header + 128 bytes at width 8
+
+
+def test_pfor_corrupt_exception_section_rejected():
+    from engine.codecs import pfor_pack_blocks, pfor_unpack_blocks
+
+    vals = np.full(64, 3, dtype=np.uint64)
+    vals[10] = np.uint64(1) << np.uint64(50)
+    buf, lens = pfor_pack_blocks(
+        vals, np.array([0], dtype=np.int64), np.array([64], dtype=np.int64)
+    )
+    # truncate the high-bits varint tail: declared exception can't decode
+    with pytest.raises(ValueError, match="corruption"):
+        pfor_unpack_blocks([buf[:-1]], np.array([64], dtype=np.int64))
+    # corrupt the position byte to point past the block
+    bad = bytearray(buf)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    payload = (64 * int(raw[0]) + 7) // 8
+    bad[2 + payload] = 200  # position 200 >= n=64
+    with pytest.raises(ValueError, match="corruption"):
+        pfor_unpack_blocks([bytes(bad)], np.array([64], dtype=np.int64))
