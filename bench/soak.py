@@ -43,6 +43,17 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH/soak.jsonl")
     ap.add_argument("--routing", default=None,
                     help="optional routing column (e.g. lang) for a routed soak")
+    ap.add_argument("--concurrency", type=int, default=0,
+                    help="after the serial query loop, run the query set "
+                         "from this many threads against the SAME held-open "
+                         "IndexReader (the ES concurrent-serving shape); "
+                         "per-mode p50/p99 + qps go in the row "
+                         "(VERDICT r04 item 5)")
+    ap.add_argument("--root", default="/tmp/engine_bench/soak",
+                    help="store root (evidence tools can share one build)")
+    ap.add_argument("--reuse-store", action="store_true",
+                    help="if the store already exists at --root, skip the "
+                         "build and only run the query phases")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
@@ -59,50 +70,69 @@ def main() -> None:
     # BEFORE creating the soak session (getOrCreate would hand it ours)
     corpus_path = ensure_corpus(args.docs)
 
+    extra_conf = (
+        # FAIR lets concurrent query jobs share task slots instead of the
+        # FIFO head-of-line queue — the multi-client serving configuration
+        {"spark.scheduler.mode": "FAIR"} if args.concurrency > 0 else None
+    )
     spark = get_spark(f"soak-{args.docs}", cores=args.cores,
-                      shuffle_partitions=args.cores * 2)
+                      shuffle_partitions=args.cores * 2,
+                      extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus = spark.read.parquet(corpus_path)
     source = as_partitioned_source(corpus, num_partitions=SOURCE_PARTITIONS)
 
-    root = "/tmp/engine_bench/soak"
-    shutil.rmtree(root, ignore_errors=True)
-    store = IndexStore(root, "soak").create()
+    root = args.root
+    reuse = args.reuse_store and os.path.exists(os.path.join(root, "soak"))
+    if reuse:
+        store = IndexStore(root, "soak")
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+        store = IndexStore(root, "soak").create()
     cfg = IndexConfig(docid_strategy="range", routing_col=args.routing)
 
     rows_per_partition = max(1, -(-args.docs // (SOURCE_PARTITIONS * args.batches)))
 
-    build_probe = ProbeMonitor()
-    build_probe.__enter__()
-    t0 = time.perf_counter()
-    total_docs, n_batches, n_merges, merge_sec = 0, 0, 0, 0.0
-    per_batch_sec = []
-    hwm = resolve_start_offsets(store, source, EARLIEST)
-    while True:
-        bt = time.perf_counter()
-        batch_id = store.next_entry_id()
-        res = ingest_batch(spark, store, source, batch_id, hwm,
-                           rows_per_partition, cfg=cfg)
-        if res is None:
-            break
-        hwm = store.committed_offsets()
-        total_docs += res.n_docs
-        n_batches += 1
-        mt = time.perf_counter()
-        if maybe_merge(spark, store, merge_factor=args.merge_factor, cfg=cfg):
-            n_merges += 1
-        merge_sec += time.perf_counter() - mt
-        per_batch_sec.append(round(time.perf_counter() - bt, 2))
-        print(f"batch {n_batches}: {total_docs:,} docs, "
-              f"{len(store.live_segments())} live segments, "
-              f"{n_merges} merges, {time.perf_counter() - t0:.0f}s elapsed",
+    if reuse:
+        total_docs = int(store.global_stats()["n_docs"])
+        n_batches, n_merges, merge_sec, build_sec = 0, 0, 0.0, 0.0
+        per_batch_sec: list = []
+        build_probe_summary: dict = {}
+        print(f"reusing store at {root}: {total_docs:,} docs, "
+              f"{len(store.live_segments())} live segments",
               file=sys.stderr, flush=True)
-    build_sec = time.perf_counter() - t0
-    build_probe.__exit__()
-    build_probe_summary = {
-        f"build_{k}": v for k, v in build_probe.summary().items()
-    }
+    else:
+        build_probe = ProbeMonitor()
+        build_probe.__enter__()
+        t0 = time.perf_counter()
+        total_docs, n_batches, n_merges, merge_sec = 0, 0, 0, 0.0
+        per_batch_sec = []
+        hwm = resolve_start_offsets(store, source, EARLIEST)
+        while True:
+            bt = time.perf_counter()
+            batch_id = store.next_entry_id()
+            res = ingest_batch(spark, store, source, batch_id, hwm,
+                               rows_per_partition, cfg=cfg)
+            if res is None:
+                break
+            hwm = store.committed_offsets()
+            total_docs += res.n_docs
+            n_batches += 1
+            mt = time.perf_counter()
+            if maybe_merge(spark, store, merge_factor=args.merge_factor, cfg=cfg):
+                n_merges += 1
+            merge_sec += time.perf_counter() - mt
+            per_batch_sec.append(round(time.perf_counter() - bt, 2))
+            print(f"batch {n_batches}: {total_docs:,} docs, "
+                  f"{len(store.live_segments())} live segments, "
+                  f"{n_merges} merges, {time.perf_counter() - t0:.0f}s elapsed",
+                  file=sys.stderr, flush=True)
+        build_sec = time.perf_counter() - t0
+        build_probe.__exit__()
+        build_probe_summary = {
+            f"build_{k}": v for k, v in build_probe.summary().items()
+        }
 
     reader = IndexReader(spark, store)
     reader.search(["warmup"], k=1).collect()
@@ -135,6 +165,76 @@ def main() -> None:
         xs = sorted(xs)
         return xs[min(len(xs) - 1, int(round(p * (len(xs) - 1))))]
 
+    conc = None
+    if args.concurrency > 0:
+        # VERDICT r04 item 5: the reference's ES serves PARALLEL queries
+        # against one held-open IndexSearcher; drive this engine's held-open
+        # IndexReader from N threads over one SparkSession (thread-safe in
+        # Spark; FAIR scheduler set above so query jobs share task slots).
+        # Each thread runs the full query set twice in its own shuffled
+        # order — per-query latencies aggregate across threads.
+        import random
+        import threading
+
+        c_lat: dict[str, list] = {"exact": [], "wand": []}
+        lock = threading.Lock()
+        errors: list = []
+
+        def client(tid: int) -> None:
+            rng = random.Random(tid)
+            qs = list(QUERY_SET) * 2
+            rng.shuffle(qs)
+            mine = {"exact": [], "wand": []}
+            try:
+                for terms, kk in qs:
+                    t = time.perf_counter()
+                    reader.search(terms, k=kk).collect()
+                    mine["exact"].append(time.perf_counter() - t)
+                    t = time.perf_counter()
+                    reader.search_wand(terms, k=kk).collect()
+                    mine["wand"].append(time.perf_counter() - t)
+            except Exception as exc:  # surface, don't hang the join
+                with lock:
+                    errors.append(repr(exc))
+            with lock:
+                c_lat["exact"].extend(mine["exact"])
+                c_lat["wand"].extend(mine["wand"])
+
+        probe0 = probe_speed_once()
+        cw0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=client, args=(i,), daemon=True)
+            for i in range(args.concurrency)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        c_wall = time.perf_counter() - cw0
+        probe1 = probe_speed_once()
+        n_q = len(c_lat["exact"]) + len(c_lat["wand"])
+        conc = {
+            "threads": args.concurrency,
+            "queries": n_q,
+            "wall_sec": round(c_wall, 2),
+            "qps": round(n_q / c_wall, 2),
+            "errors": errors,
+            "probe_before": probe0,
+            "probe_after": probe1,
+        }
+        for mode in ("exact", "wand"):
+            xs = c_lat[mode]
+            if xs:
+                conc[f"q_{mode}_p50_ms"] = round(
+                    statistics.median(xs) * 1000, 1
+                )
+                conc[f"q_{mode}_p99_ms"] = round(pct(xs, 0.99) * 1000, 1)
+        print(f"concurrency {args.concurrency}: {n_q} queries in "
+              f"{c_wall:.1f}s ({conc['qps']} qps), "
+              f"exact p50 {conc.get('q_exact_p50_ms')}ms "
+              f"wand p50 {conc.get('q_wand_p50_ms')}ms errors={errors}",
+              file=sys.stderr, flush=True)
+
     row = {
         "kind": "soak",
         "cores": args.cores,
@@ -144,7 +244,9 @@ def main() -> None:
         "live_segments": len(store.live_segments()),
         "build_sec": round(build_sec, 2),
         "merge_sec": round(merge_sec, 2),
-        "docs_per_sec": round(total_docs / build_sec, 1),
+        "docs_per_sec": round(total_docs / build_sec, 1) if build_sec else None,
+        "reused_store": reuse,
+        "concurrency": conc,
         "q_exact_p50_ms": round(statistics.median(lat_exact) * 1000, 1),
         "q_exact_p99_ms": round(pct(lat_exact, 0.99) * 1000, 1),
         "q_wand_p50_ms": round(statistics.median(lat_wand) * 1000, 1),

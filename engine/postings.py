@@ -41,7 +41,8 @@ from engine.config import DEFAULT_CONFIG, IndexConfig
 
 POSTINGS_SCHEMA = (
     "term string, n int, min_doc long, max_doc long, "
-    "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf int, min_dl int"
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf int, min_dl int, "
+    "imp_tf array<int>, imp_dl array<int>"
 )
 
 # routing-aware variant (D9): every block belongs to exactly one routing
@@ -87,6 +88,8 @@ def _out_arrow_schema(routed: bool):
         pa.field("dl_bytes", pa.binary()),
         pa.field("max_tf", pa.int32()),
         pa.field("min_dl", pa.int32()),
+        pa.field("imp_tf", pa.list_(pa.int32())),
+        pa.field("imp_dl", pa.list_(pa.int32())),
     ]
     if routed:
         fields.append(pa.field("routing", pa.string()))
@@ -209,6 +212,7 @@ def _encode_term_major(
         t_col = _bin_col(t_buf, t_off, b_starts)
         l_col = _bin_col(l_buf, l_off, b_starts)
 
+    imp_off, imp_tf, imp_dl = _block_impacts(tf, dl, b_starts, b_ends)
     arrays = [
         pc.take(uniq, pa.array(code[b_starts], type=pa.int64())),
         pa.array((b_ends - b_starts).astype(np.int32), type=pa.int32()),
@@ -219,10 +223,59 @@ def _encode_term_major(
         l_col,
         pa.array(np.maximum.reduceat(tf, b_starts).astype(np.int32), type=pa.int32()),
         pa.array(np.minimum.reduceat(dl, b_starts).astype(np.int32), type=pa.int32()),
+        pa.ListArray.from_arrays(pa.array(imp_off, type=pa.int32()),
+                                 pa.array(imp_tf, type=pa.int32())),
+        pa.ListArray.from_arrays(pa.array(imp_off, type=pa.int32()),
+                                 pa.array(imp_dl, type=pa.int32())),
     ]
     if routed:
         arrays.append(pa.array([routing] * len(b_starts), type=pa.string()))
     return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _block_impacts(
+    tf: np.ndarray, dl: np.ndarray, b_starts: np.ndarray, b_ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block Pareto frontier of (tf, dl) pairs — Lucene-style impacts.
+
+    The WAND block upper bound must hold for the block's BEST posting under
+    s(tf, dl) = tf / (tf + k1*(1-b+b*dl/avgdl)), which is monotone rising
+    in tf and falling in dl. The legacy (max_tf, min_dl) bound pairs the
+    max tf and the min dl even when they come from DIFFERENT postings —
+    measured on the 1M store that bound prunes ~0% of blocks for mid-df
+    terms (BENCH/wand_skip.jsonl). The frontier (all pairs not dominated
+    by another with tf' >= tf and dl' <= dl) gives the TIGHT bound
+    max-over-frontier, and stays sound for every avgdl/k1/b because
+    monotone maxima are attained on the frontier. Frontier size is bounded
+    by the distinct tf values in a block (<= block_size; tf is small for
+    web text, typically 1-10 pairs).
+
+    Fully vectorized across blocks: one lexsort + a segmented running max
+    (block-offset trick). Returns (offsets len nb+1, frontier tfs, dls)
+    ready for Arrow ListArray.from_arrays.
+    """
+    ns_blk = b_ends - b_starts
+    nb = len(b_starts)
+    blk_of = np.repeat(np.arange(nb, dtype=np.int64), ns_blk)
+    # within each block: dl asc, then tf desc (so the first of an equal-dl
+    # run carries its max tf); blocks stay grouped (last lexsort key)
+    order = np.lexsort((-tf, dl, blk_of))
+    tf_s = tf[order]
+    # segmented running max of tf via block offsets: every value of block i
+    # gets + i*K with K > max tf, so the global running max can never carry
+    # across a block boundary
+    K = np.int64(int(tf.max()) + 1) if len(tf) else np.int64(1)
+    run = np.maximum.accumulate(tf_s + blk_of * K) - blk_of * K
+    prev = np.empty_like(run)
+    prev[0] = -1
+    prev[1:] = run[:-1]
+    is_start = np.zeros(len(tf_s), dtype=bool)
+    is_start[np.concatenate(([0], np.cumsum(ns_blk[:-1])))] = True
+    prev[is_start] = -1
+    keep = tf_s > prev  # strictly above the running max => non-dominated
+    imp_counts = np.bincount(blk_of[keep], minlength=nb)
+    imp_off = np.concatenate(([0], np.cumsum(imp_counts))).astype(np.int32)
+    return imp_off, tf_s[keep].astype(np.int32), dl[order][keep].astype(np.int32)
 
 
 def build_posting_blocks(

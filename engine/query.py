@@ -432,12 +432,15 @@ class IndexReader:
             self._live_cache.count()
         return self._live_cache
 
-    def search_wand(self, query_terms: list[str], k: int = 10) -> DataFrame:
+    def search_wand(
+        self, query_terms: list[str], k: int = 10, stats_out: dict | None = None
+    ) -> DataFrame:
         """Block-max WAND top-k from the cached index.
 
         When the superseded-doc set exceeds cfg.max_deleted_driver, falls
         back to the exact path (distributed live-docs anti-join) — same
-        results, no giant broadcast set."""
+        results, no giant broadcast set. `stats_out` (evidence/debug):
+        filled with candidate/scored block counts, see wand_topk."""
         if self._deleted_overflow:
             return self.search(query_terms, k=k)
         from engine.wand import wand_topk
@@ -454,6 +457,7 @@ class IndexReader:
             doc_id_hwm=self.doc_id_hwm,
             excluded_doc_ids=self.deleted or None,
             codec=self._codec,
+            stats_out=stats_out,
         )
 
 

@@ -20,10 +20,13 @@ Distributed shape:
      per-partition top-ks.
 
 Upper bounds are recomputed from CURRENT global stats at query time using
-the stored (max_tf, min_dl) impacts: BM25's per-term contribution rises in
-tf and falls in dl, so idf * max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl))
-bounds every posting in the block — merges / new segments never invalidate
-stored metadata (same reason Lucene stores impacts, not scores).
+the stored per-block impact pairs (the Pareto frontier of (tf, dl) — see
+engine/postings.py:_block_impacts): BM25's per-term contribution rises in
+tf and falls in dl, so idf * max-over-frontier of
+tf/(tf + k1*(1-b+b*dl/avgdl)) bounds every posting in the block TIGHTLY —
+merges / new segments never invalidate stored metadata (same reason Lucene
+stores impacts, not scores). Legacy blocks without the impacts column fall
+back to the loose cross-posting (max_tf, min_dl) bound.
 
 Pruning uses a strict margin (ub_sum < θ - 1e-9) so k-th-rank score ties
 are never lost; ties then break by doc_id asc exactly like the exact path.
@@ -61,6 +64,36 @@ def _idf(n_docs: float, df: float) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _block_upper_bounds(
+    pdf: pd.DataFrame, idf_map: dict, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """Per-block score upper bound: idf * max over the block's impact pairs
+    of tf/(tf + k1*(1-b+b*dl/avgdl)) — the TIGHT Lucene-impacts bound (the
+    monotone score's max over a block is attained on the stored Pareto
+    frontier, engine/postings.py:_block_impacts). Blocks without impacts
+    (segments written before the impacts column existed) fall back to the
+    loose (max_tf, min_dl) cross-posting bound — sound, rarely pruning."""
+    idf_arr = np.array([idf_map[t] for t in pdf["term"]])
+    imp = pdf["imp_tf"] if "imp_tf" in pdf.columns else None
+    valid = (
+        np.fromiter((v is not None and len(v) > 0 for v in imp), bool, len(pdf))
+        if imp is not None
+        else np.zeros(len(pdf), dtype=bool)
+    )
+    mt = pdf["max_tf"].to_numpy(np.float64)
+    md = pdf["min_dl"].to_numpy(np.float64)
+    ubs = idf_arr * (mt / (mt + k1 * (1.0 - b + b * md / avgdl)))
+    if valid.any():
+        sub = pdf.loc[valid]
+        cnts = np.fromiter((len(v) for v in sub["imp_tf"]), np.int64, len(sub))
+        ftf = np.concatenate([np.asarray(v, np.float64) for v in sub["imp_tf"]])
+        fdl = np.concatenate([np.asarray(v, np.float64) for v in sub["imp_dl"]])
+        s = ftf / (ftf + k1 * (1.0 - b + b * fdl / avgdl))
+        seg = np.concatenate(([0], np.cumsum(cnts[:-1])))
+        ubs[valid] = idf_arr[valid] * np.maximum.reduceat(s, seg)
+    return ubs
+
+
 def _scan_partition(
     pdf: pd.DataFrame,
     idf_map: dict[str, float],
@@ -86,12 +119,7 @@ def _scan_partition(
     terms = pdf["term"].to_numpy()
     mins = np.maximum(pdf["min_doc"].to_numpy(np.int64), lo)
     maxs = np.minimum(pdf["max_doc"].to_numpy(np.int64), hi)
-    ubs = np.array(
-        [
-            idf_map[t] * (mt / (mt + k1 * (1.0 - b + b * md / avgdl)))
-            for t, mt, md in zip(terms, pdf["max_tf"], pdf["min_dl"])
-        ]
-    )
+    ubs = _block_upper_bounds(pdf, idf_map, k1, b, avgdl)
 
     edges = np.unique(np.concatenate([mins, maxs + 1]))
     heap: list[tuple[float, int]] = []  # (score, -doc_id): weakest first
@@ -149,8 +177,22 @@ def _scan_partition(
             elif cand > heap[0]:
                 heapq.heapreplace(heap, cand)
 
+    rng = int(pdf["rng"].iloc[0])
+    if not heap:
+        # sentinel row (filtered out of results) so a partition that scored
+        # blocks but produced no top-k rows still reports blocks_scored —
+        # without it the skip-ratio evidence undercounts scored blocks
+        return pd.DataFrame(
+            {
+                "rng": [rng],
+                "doc_id": [-1],
+                "raw_score": [0.0],
+                "blocks_scored": [n_blocks_scored],
+            }
+        )
     return pd.DataFrame(
         {
+            "rng": [rng] * len(heap),
             "doc_id": [-d for _, d in heap],
             "raw_score": [s for s, _ in heap],
             "blocks_scored": [n_blocks_scored] * len(heap),
@@ -171,6 +213,7 @@ def wand_topk(
     doc_id_hwm: int | None = None,
     excluded_doc_ids: frozenset | None = None,
     codec: str = "varint",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Block-max top-k over POSTINGS_SCHEMA blocks.
 
@@ -248,10 +291,24 @@ def wand_topk(
         )
 
     local = with_rng.groupBy("rng").applyInPandas(
-        scan, schema="doc_id long, raw_score double, blocks_scored long"
+        scan, schema="rng long, doc_id long, raw_score double, blocks_scored long"
     )
+    if stats_out is not None:
+        # evidence/debug path (tools/wand_skip_stats.py): extra actions that
+        # re-run the scan — never taken by queries (stats_out=None default)
+        stats_out["candidate_blocks"] = cand.count()
+        stats_out["candidate_block_ranges"] = with_rng.count()
+        stats_out["blocks_scored"] = int(
+            local.groupBy("rng")
+            .agg(F.max("blocks_scored").alias("bs"))
+            .agg(F.sum("bs"))
+            .collect()[0][0]
+            or 0
+        )
+        stats_out["num_ranges"] = int(num_ranges)
     return (
-        local.select(
+        local.where(F.col("doc_id") >= 0)
+        .select(
             "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -266,6 +323,7 @@ def search_store_wand(
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
     num_ranges: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Block-max WAND top-k over a persisted index (engine.segments).
 
@@ -312,4 +370,5 @@ def search_store_wand(
         doc_id_hwm=store.next_doc_id_base(),
         excluded_doc_ids=excluded,
         codec=store.codec,
+        stats_out=stats_out,
     )

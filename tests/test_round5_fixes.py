@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from engine.config import IndexConfig
@@ -167,3 +169,83 @@ def test_bm25_fields_title_boost_ranks_title_hit_first(spark):
     fields = {r["doc_id"]: r["score"] for r in both}
     assert fields[1] > body_only[1]          # title adds score
     assert abs(fields[2] - body_only[2]) < 1e-9  # no title hit -> body only
+
+
+# ---------------------------------------------------------------------------
+# block impacts: Pareto (tf, dl) frontier upper bounds (VERDICT r04 item 6)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50),
+                  st.integers(min_value=1, max_value=2000)),
+        min_size=1, max_size=128,
+    ),
+    st.floats(min_value=50.0, max_value=1000.0),
+)
+@settings(max_examples=150, deadline=None)
+def test_block_impacts_frontier_attains_true_max(pairs, avgdl):
+    """The stored frontier must yield the SAME maximum of the BM25 tf-part
+    as scanning every posting, for any avgdl (merges change avgdl after the
+    impacts are frozen) — the soundness+tightness contract of the WAND
+    upper bound."""
+    from engine.postings import _block_impacts
+
+    k1, b = 1.2, 0.75
+    tf = np.array([t for t, _ in pairs], dtype=np.int64)
+    dl = np.array([d for _, d in pairs], dtype=np.int64)
+    off, itf, idl = _block_impacts(
+        tf, dl, np.array([0], dtype=np.int64), np.array([len(tf)], dtype=np.int64)
+    )
+
+    def s(t, d):
+        return t / (t + k1 * (1.0 - b + b * d / avgdl))
+
+    true_max = max(s(t, d) for t, d in pairs)
+    frontier = list(zip(itf[off[0]:off[1]], idl[off[0]:off[1]]))
+    got_max = max(s(t, d) for t, d in frontier)
+    assert abs(got_max - true_max) < 1e-12
+    # frontier is minimal: no pair dominated by another
+    for i, (t1, d1) in enumerate(frontier):
+        for j, (t2, d2) in enumerate(frontier):
+            if i != j:
+                assert not (t2 >= t1 and d2 <= d1)
+
+
+def test_block_impacts_multi_block_segmentation():
+    """Running max must reset at block boundaries (offset trick)."""
+    from engine.postings import _block_impacts
+
+    tf = np.array([5, 1, 9, 2], dtype=np.int64)
+    dl = np.array([100, 50, 100, 50], dtype=np.int64)
+    off, itf, idl = _block_impacts(
+        tf, dl, np.array([0, 2], dtype=np.int64), np.array([2, 4], dtype=np.int64)
+    )
+    b0 = set(zip(itf[off[0]:off[1]], idl[off[0]:off[1]]))
+    b1 = set(zip(itf[off[1]:off[2]], idl[off[1]:off[2]]))
+    assert b0 == {(1, 50), (5, 100)}
+    assert b1 == {(2, 50), (9, 100)}
+
+
+def test_impacts_bound_tighter_than_legacy_and_rank_identical(spark):
+    """A block whose max-tf posting is LONG and min-dl posting has tf=1
+    must get a visibly smaller upper bound than the legacy cross-posting
+    (max_tf, min_dl) bound — and WAND results stay identical to exact."""
+    import pandas as pd
+
+    from engine.wand import _block_upper_bounds
+
+    pdf = pd.DataFrame({
+        "term": ["t"],
+        "max_tf": [8],          # from a 2000-token doc
+        "min_dl": [40],         # from a tf=1 doc
+        "imp_tf": [np.array([1, 8], dtype=np.int64)],
+        "imp_dl": [np.array([40, 2000], dtype=np.int64)],
+    })
+    idf = {"t": 1.0}
+    tight = _block_upper_bounds(pdf, idf, 1.2, 0.75, 300.0)[0]
+    legacy = _block_upper_bounds(
+        pdf.drop(columns=["imp_tf", "imp_dl"]), idf, 1.2, 0.75, 300.0
+    )[0]
+    assert tight < legacy - 0.05
