@@ -608,6 +608,7 @@ as its first.
             by_pair[key][r["cores"]] = r
     best_paired = None
     best_strong_pair = None
+    strong_pairs: list = []  # every citable (both-quiet, leg-symmetric) strong 8->32 pair
     quiet_effs = []
     for mode, pid in sorted(by_pair):
         cells = by_pair[(mode, pid)]
@@ -648,6 +649,7 @@ as its first.
             if best_paired is None or eff > best_paired[1]:
                 best_paired = (pid, eff)
         if both_quiet and mode == "strong" and lo == 8 and hi == 32:
+            strong_pairs.append((eff, cells[lo].get("docs")))
             if best_strong_pair is None or eff > best_strong_pair[0]:
                 best_strong_pair = (eff, cells[lo].get("docs"))
     paired_md = ""
@@ -696,9 +698,13 @@ as its first.
                 f"{len(quiet_effs)} >= 0.8, best {best_paired[1]} "
                 f"(pair {best_paired[0]}; full table below)."
             )
+        s28_part = (
+            f", strong-scaling (SAME input) {s28}" if s28 is not None else
+            " (no strong 2->8 cell at the dominant trial size)"
+        )
         headline = (
             f"**Headline (north rule, N=2 -> 4N=8 cores): weak-scaling "
-            f"efficiency {w28}, strong-scaling (SAME input) {s28}** (best-of "
+            f"efficiency {w28}{s28_part}** (best-of "
             f"cells, all trials).{quiet_part}{pair_part} The "
             f"8 -> 32 cells are a different story: the machine-ceiling section "
             f"below shows this VM cannot exceed ~0.72 efficiency on that pair "
@@ -712,7 +718,12 @@ as its first.
                 f"**{best_strong_pair[0]}** at {best_strong_pair[1]:,} "
                 f"docs/level vs the ~0.72 machine ceiling — per-batch fixed "
                 f"cost amortizing with input exactly as the eventlog "
-                f"attribution below predicts (paired table)."
+                f"attribution below predicts (paired table). All citable "
+                f"(both-quiet, leg-symmetric) strong 8->32 pairs: "
+                + ", ".join(
+                    f"{e} @ {d:,}" for e, d in sorted(strong_pairs, key=lambda x: -x[0])
+                )
+                + "."
                 if best_strong_pair else ""
             )
         )

@@ -256,6 +256,12 @@ def _block_impacts(
     """
     ns_blk = b_ends - b_starts
     nb = len(b_starts)
+    if nb == 0 or len(tf) == 0:
+        return (
+            np.zeros(nb + 1, dtype=np.int32),
+            np.empty(0, dtype=np.int32),
+            np.empty(0, dtype=np.int32),
+        )
     blk_of = np.repeat(np.arange(nb, dtype=np.int64), ns_blk)
     # within each block: dl asc, then tf desc (so the first of an equal-dl
     # run carries its max tf); blocks stay grouped (last lexsort key)
