@@ -181,6 +181,14 @@ def main() -> None:
         errors: list = []
 
         def client(tid: int) -> None:
+            # one scheduler pool per client thread: FAIR mode arbitrates
+            # BETWEEN pools — with every job in the single default pool the
+            # in-pool order is FIFO and the benchmark would measure a job
+            # queue, not fair concurrent serving (local properties are
+            # thread-local, so this must be set inside the thread)
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"client-{tid}"
+            )
             rng = random.Random(tid)
             qs = list(QUERY_SET) * 2
             rng.shuffle(qs)

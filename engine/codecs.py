@@ -321,7 +321,11 @@ def pfor_unpack_blocks(bufs, ns: np.ndarray) -> np.ndarray:
     payload = (ns * b_blk + 7) // 8
     high_bytes = lens - 2 - payload - n_exc
     if (high_bytes < 0).any() or ((n_exc > 0) & (high_bytes < n_exc)).any():
-        raise ValueError("pfor block corruption: sections exceed buffer size")
+        raise ValueError(
+            "pfor block corruption: sections exceed buffer size (or the "
+            "block was written by the pre-patching v1 layout — v1 stores "
+            "are not readable by v2; rebuild or merge the index)"
+        )
     if ((n_exc == 0) & (high_bytes != 0)).any():
         raise ValueError("pfor block corruption: trailing bytes after payload")
     total = int(ns.sum())

@@ -243,14 +243,29 @@ def drop_hot_buckets(
     bands; truly degenerate clusters belong to exact_duplicates anyway."""
     if max_bucket_size is None:
         return banded
-    hot = (
-        banded.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > max_bucket_size)
-    )
-    hot_rows = hot.collect()  # <= n_rows / max_bucket_size rows
-    if not hot_rows:
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum((F.col("n") > max_bucket_size).cast("long")).alias("nh"),
+    ).collect()[0]
+    n_buckets, n_hot = int(tot["nb"]), int(tot["nh"] or 0)
+    if n_hot == 0:
         return banded
+    if n_hot == n_buckets:
+        # EVERY bucket is hot: the cap would silently empty the candidate
+        # set (recall 0). This is the narrow-band regime — e.g. simhash at
+        # a wide hamming radius has bands of only a few bits, so at corpus
+        # scale every bucket exceeds any sane cap. Refuse instead of
+        # returning a confident-looking empty result.
+        raise ValueError(
+            f"{what}: all {n_buckets} LSH buckets exceed "
+            f"max_bucket_size={max_bucket_size} — the cap would drop every "
+            "candidate (recall 0). Lower the blocking radius (narrower "
+            "buckets), raise max_bucket_size, or pass max_bucket_size=None."
+        )
+    hot_rows = sizes.where(
+        F.col("n") > max_bucket_size
+    ).collect()  # <= n_rows / max_bucket_size rows — bounded
     import logging
 
     logging.getLogger(__name__).warning(
@@ -436,9 +451,14 @@ def simhash_near_pairs(
     inherent LSH tradeoff, so keep the radius small at corpus scale).
 
     Buckets above `max_bucket_size` are skipped AND logged
-    (drop_hot_buckets) — the skew guard weakens the pigeonhole recall
-    guarantee only for pairs whose every shared band is hot, i.e. exact-dup
-    clusters that exact_duplicates already handles.
+    (drop_hot_buckets); the skew guard weakens the pigeonhole recall
+    guarantee for pairs whose EVERY shared band is hot. Caution at scale:
+    wide radii make bands only a few bits wide (max_hamming=10 -> 11 bands
+    of <=6 bits -> <=64 keys/band), so past ~64 * max_bucket_size docs
+    every bucket is hot by pigeonhole alone — drop_hot_buckets now REFUSES
+    (ValueError) rather than silently returning zero candidates. At corpus
+    scale keep the radius small (the default 3 gives 16-bit bands), raise
+    the cap, or use minhash_lsh_pairs (60-bit bucket keyspace).
 
     `fingerprints` (doc_id, simhash) overrides the computed simhash64 —
     the recall-property test seam (planted pairs at exact hamming radii)."""

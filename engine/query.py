@@ -440,8 +440,11 @@ class IndexReader:
         When the superseded-doc set exceeds cfg.max_deleted_driver, falls
         back to the exact path (distributed live-docs anti-join) — same
         results, no giant broadcast set. `stats_out` (evidence/debug):
-        filled with candidate/scored block counts, see wand_topk."""
+        filled with candidate/scored block counts, see wand_topk; on the
+        exact-path fallback it gets {"fallback_exact": True} instead."""
         if self._deleted_overflow:
+            if stats_out is not None:
+                stats_out["fallback_exact"] = True
             return self.search(query_terms, k=k)
         from engine.wand import wand_topk
 

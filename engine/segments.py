@@ -274,8 +274,15 @@ class IndexStore:
     @staticmethod
     def _read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
         """Parquet read that keeps hive partition values as strings (a
-        routing value like "7" must not come back as an int column)."""
-        df = spark.read.option("mergeSchema", "false").parquet(*paths)
+        routing value like "7" must not come back as an int column).
+
+        mergeSchema=true so a store whose segments straddle a schema
+        addition (e.g. the round-5 imp_tf/imp_dl impacts columns) reads as
+        the UNION schema with nulls for old segments — with the default
+        single-footer sampling, which segment "wins" would be arbitrary
+        (new columns silently dropped, or present-with-nulls), breaking the
+        reader's documented legacy fallback."""
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if "routing" in df.columns:
             df = df.withColumn("routing", F.col("routing").cast("string"))
         return df
@@ -327,9 +334,16 @@ class IndexStore:
                     by_routing.setdefault(rv, []).append(os.path.join(p, d))
         out = None
         for rv in sorted(by_routing, key=lambda v: (v is None, v)):
-            df = spark.read.option("mergeSchema", "false").parquet(*by_routing[rv])
+            # mergeSchema + allowMissingColumns: routing groups may straddle
+            # a schema addition (segments written before/after the impacts
+            # columns); missing columns become nulls, which the readers'
+            # legacy fallbacks expect — without this the union raises or
+            # silently drops the new columns depending on footer sampling
+            df = spark.read.option("mergeSchema", "true").parquet(*by_routing[rv])
             df = df.withColumn("routing", F.lit(rv).cast("string"))
-            out = df if out is None else out.unionByName(df)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
         if out is None:
             if routing is not None:
                 # requested routing value holds no documents: empty result

@@ -355,6 +355,8 @@ def search_store_wand(
             # fully distributed exact path (same results) until a merge runs
             from engine.query import search_store
 
+            if stats_out is not None:
+                stats_out["fallback_exact"] = True
             return search_store(spark, store, q_terms, k=k, cfg=cfg)
         excluded = frozenset(r["doc_id"] for r in rows)
     return wand_topk(

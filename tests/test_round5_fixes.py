@@ -110,20 +110,32 @@ def test_lsh_hot_bucket_cap_bounds_identical_corpus(spark, caplog):
         F.lit("identical boilerplate page text repeated across the corpus "
               "identical boilerplate page text").alias("text"),
     )
+    # ALL buckets hot: the cap would silently empty the candidate set, so
+    # drop_hot_buckets refuses outright (review finding r05 — a cap that
+    # zeroes recall must be loud, not a confident empty result)
+    with pytest.raises(ValueError, match="recall 0"):
+        minhash_lsh_pairs(docs, max_bucket_size=10).collect()
+    with pytest.raises(ValueError, match="recall 0"):
+        simhash_near_pairs(docs, max_hamming=3, max_bucket_size=10).collect()
+
+    # PARTIALLY hot: one boilerplate cluster among distinct docs — the hot
+    # buckets are skipped AND logged, the rest of the corpus still pairs
+    from engine.corpus import webpages
+
+    mixed = webpages(spark, 40, partitions=2).select(
+        F.col("row_id").alias("doc_id"),
+        F.when(F.col("row_id") < 25, F.lit("identical boilerplate page"))
+        .otherwise(F.col("text")).alias("text"),
+    )
     with caplog.at_level(logging.WARNING, logger="engine.dedup"):
-        capped = minhash_lsh_pairs(docs, max_bucket_size=10).collect()
-    assert capped == []  # every band bucket is hot -> no candidates
+        capped = minhash_lsh_pairs(mixed, max_bucket_size=10).collect()
     assert any("minhash_lsh_pairs" in r.message and "hot" in r.message
                for r in caplog.records)
+    boiler = {i for i in range(25)}
+    assert all(not (r["id_a"] in boiler and r["id_b"] in boiler)
+               for r in capped)  # the hot cluster's pairs were dropped
 
-    caplog.clear()
-    with caplog.at_level(logging.WARNING, logger="engine.dedup"):
-        capped_sh = simhash_near_pairs(docs, max_hamming=3,
-                                       max_bucket_size=10).collect()
-    assert capped_sh == []
-    assert any("simhash_near_pairs" in r.message for r in caplog.records)
-
-    # uncapped (None) demonstrates today's degenerate O(n^2) output
+    # uncapped (None) demonstrates the degenerate O(n^2) output
     uncapped = minhash_lsh_pairs(docs, max_bucket_size=None).collect()
     assert len(uncapped) == n * (n - 1) // 2
 

@@ -70,6 +70,11 @@ def measure(spark, store, label: str, queries) -> dict:
         t = time.perf_counter()
         reader.search_wand(terms, k=k, stats_out=st).collect()
         wall = time.perf_counter() - t
+        if st.get("fallback_exact"):
+            # deleted-set overflow forced the exact path: no block stats
+            per_query.append({"terms": terms, "k": k, "fallback_exact": True,
+                              "wall_ms": round(wall * 1000, 1)})
+            continue
         reps = st["candidate_block_ranges"]
         scored = st["blocks_scored"]
         per_query.append({
@@ -84,15 +89,15 @@ def measure(spark, store, label: str, queries) -> dict:
         })
         print(f"[{label}] {terms} k={k}: replicas={reps} scored={scored} "
               f"skip={per_query[-1]['skip_ratio']}", file=sys.stderr, flush=True)
-    tot_reps = sum(q["block_range_replicas"] for q in per_query)
-    tot_scored = sum(q["blocks_scored"] for q in per_query)
+    tot_reps = sum(q.get("block_range_replicas", 0) for q in per_query)
+    tot_scored = sum(q.get("blocks_scored", 0) for q in per_query)
     stats = store.global_stats()
     return {
         "kind": "wand_skip",
         "label": label,
         "n_docs": int(stats["n_docs"]),
         "avg_postings_per_term_query": round(
-            sum(q["candidate_blocks"] for q in per_query) / len(per_query), 1
+            sum(q.get("candidate_blocks", 0) for q in per_query) / len(per_query), 1
         ),
         "total_block_range_replicas": tot_reps,
         "total_blocks_scored": tot_scored,
