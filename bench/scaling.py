@@ -537,11 +537,22 @@ Raw: `{json.dumps(ceil["eff_max"])}`"""
     soak_path = os.path.join(os.path.dirname(out) or ".", "soak.jsonl")
     if os.path.exists(soak_path):
         rows = [json.loads(l) for l in open(soak_path)]
+
+        def _cell(v, comma=False):
+            # query-only soak rows (reused_store=true, e.g. the concurrency
+            # run) carry no build throughput — render absent fields as "—"
+            if v is None:
+                return "—"
+            return f"{v:,}" if comma else str(v)
+
         body = "\n".join(
-            f"| {r['cores']} | {r['n_docs']:,} | {r['n_batches']} "
-            f"| {r['n_merges']} | {r['live_segments']} | {r['build_sec']} "
-            f"| {r['docs_per_sec']:,} | {r['q_exact_p50_ms']} "
-            f"| {r['q_wand_p50_ms']} | {r.get('load1_after', '—')} |"
+            f"| {r['cores']} | {_cell(r.get('n_docs'), True)} "
+            f"| {_cell(r.get('n_batches'))} "
+            f"| {_cell(r.get('n_merges'))} | {_cell(r.get('live_segments'))} "
+            f"| {_cell(r.get('build_sec'))} "
+            f"| {_cell(r.get('docs_per_sec'), True)} "
+            f"| {_cell(r.get('q_exact_p50_ms'))} "
+            f"| {_cell(r.get('q_wand_p50_ms'))} | {r.get('load1_after', '—')} |"
             for r in rows
         )
         soak_md = f"""
