@@ -97,6 +97,16 @@ class IndexConfig:
     # range spans at most docs_per_wand_range ids.
     docs_per_wand_range: int = 50_000       # cap: doc-id span per WAND task
     wand_range_floor_docs: int = 2_000      # floor: doc span worth a task
+    # Cost-based plan choice (search_store_wand strategy="auto"): below this
+    # many total candidate postings (sum of the query terms' document
+    # frequencies, known from term_stats before any scan) the exact path is
+    # cheaper — WAND's range replication + windowed scan only pay off once
+    # posting lists are long enough to skip blocks. Measured crossover on
+    # the synthetic corpus: serial exact p50 beat WAND at a 1M-doc store
+    # (1,594 vs 1,996 ms) and lost at 2M where skip ratio reached 0.23
+    # (BENCH/NOTES.md, BENCH/wand_skip.jsonl). Results are identical either
+    # way (rank-identity tested); the knob only picks the cheaper plan.
+    wand_auto_exact_max_postings: int = 1_000_000
 
     extra: dict = field(default_factory=dict)
 

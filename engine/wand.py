@@ -324,6 +324,7 @@ def search_store_wand(
     cfg: IndexConfig = DEFAULT_CONFIG,
     num_ranges: int | None = None,
     stats_out: dict | None = None,
+    strategy: str = "wand",
 ) -> DataFrame:
     """Block-max WAND top-k over a persisted index (engine.segments).
 
@@ -333,15 +334,37 @@ def search_store_wand(
     mirrors Lucene's live-docs bitset; deleted sets are tiny between merges
     by construction (one micro-batch's worth of upserts). df/avgdl keep the
     stored pre-merge semantics (same as search_store).
+
+    `strategy`: "wand" always runs the block-max scan; "auto" is the
+    cost-based choice — when the query's total candidate postings
+    (sum of the terms' df, known from term_stats before any scan) are below
+    cfg.wand_auto_exact_max_postings, the fully vectorized exact path is
+    cheaper than WAND's replication + windowed scan and is taken instead.
+    Both paths are rank-identical (tested), so the switch is invisible in
+    results; stats_out["strategy"] records which plan ran.
     """
     from engine.merge import live_doc_ids
 
+    if strategy not in ("wand", "auto"):
+        raise ValueError(f"strategy must be 'wand' or 'auto', got {strategy!r}")
     stats = store.global_stats()
     q_terms = sorted(set(query_terms))
     df_map = {
         r["term"]: r["df"]
         for r in store.term_stats_df(spark).where(F.col("term").isin(q_terms)).collect()
     }
+    if strategy == "auto":
+        candidate_postings = sum(df_map.values())
+        if candidate_postings < cfg.wand_auto_exact_max_postings:
+            from engine.query import search_store
+
+            if stats_out is not None:
+                stats_out["strategy"] = "exact_auto"
+                stats_out["candidate_postings"] = candidate_postings
+            return search_store(spark, store, q_terms, k=k, cfg=cfg)
+        if stats_out is not None:
+            stats_out["strategy"] = "wand_auto"
+            stats_out["candidate_postings"] = candidate_postings
     excluded = None
     if len(store.live_segments()) > 1:
         docs = store.docs(spark)

@@ -48,6 +48,43 @@ def test_wand_rank_identical_to_exact(spark, indexed, terms, k):
         ], (terms, num_ranges)
 
 
+def test_store_wand_auto_strategy(spark, tmp_path):
+    """strategy="auto" picks the exact path below the candidate-postings
+    threshold and the WAND scan above it — identical results either way,
+    with the decision recorded in stats_out."""
+    from dataclasses import replace
+
+    from engine.config import DEFAULT_CONFIG
+
+    src = as_partitioned_source(webpages(spark, 150, partitions=2), 2)
+    store = IndexStore(str(tmp_path), "w").create()
+    run_ingest_loop(spark, store, src, rows_per_partition=200, start_option=EARLIEST)
+    terms = ["engine", "spark"]
+    exact = [(r["doc_id"], r["score"])
+             for r in search_store(spark, store, terms, k=10).collect()]
+
+    # tiny store: auto must fall below the default threshold -> exact path
+    out: dict = {}
+    got = [(r["doc_id"], r["score"]) for r in search_store_wand(
+        spark, store, terms, k=10, strategy="auto", stats_out=out).collect()]
+    assert got == exact
+    assert out["strategy"] == "exact_auto"
+    assert 0 < out["candidate_postings"] < DEFAULT_CONFIG.wand_auto_exact_max_postings
+
+    # threshold forced to 0: auto must run the WAND scan, same results
+    out = {}
+    cfg0 = replace(DEFAULT_CONFIG, wand_auto_exact_max_postings=0)
+    got = [(r["doc_id"], r["score"]) for r in search_store_wand(
+        spark, store, terms, k=10, strategy="auto", cfg=cfg0,
+        stats_out=out).collect()]
+    assert got == exact
+    assert out["strategy"] == "wand_auto"
+    assert out["blocks_scored"] >= 0  # the scan actually ran
+
+    with pytest.raises(ValueError):
+        search_store_wand(spark, store, terms, strategy="best_effort")
+
+
 def test_store_wand_with_superseded_docs(spark, tmp_path):
     """Multi-segment store with an un-merged upsert: WAND must exclude the
     superseded doc and match the exact multi-segment path."""
