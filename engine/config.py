@@ -97,16 +97,21 @@ class IndexConfig:
     # range spans at most docs_per_wand_range ids.
     docs_per_wand_range: int = 50_000       # cap: doc-id span per WAND task
     wand_range_floor_docs: int = 2_000      # floor: doc span worth a task
-    # Cost-based plan choice (search_store_wand strategy="auto"): below this
-    # many total candidate postings (sum of the query terms' document
-    # frequencies, known from term_stats before any scan) the exact path is
-    # cheaper — WAND's range replication + windowed scan only pay off once
-    # posting lists are long enough to skip blocks. Measured crossover on
-    # the synthetic corpus: serial exact p50 beat WAND at a 1M-doc store
-    # (1,594 vs 1,996 ms) and lost at 2M where skip ratio reached 0.23
-    # (BENCH/NOTES.md, BENCH/wand_skip.jsonl). Results are identical either
-    # way (rank-identity tested); the knob only picks the cheaper plan.
-    wand_auto_exact_max_postings: int = 1_000_000
+    # Cost-based plan choice (strategy="auto" in search_store_wand /
+    # IndexReader.search_wand): run the block-max scan only where it is
+    # measured to win — few-term queries over LONG posting lists. Per-query
+    # calibration (soak.jsonl per_query latencies x wand_skip.jsonl
+    # candidate blocks, BENCH/NOTES.md round-5 skip-ratio section):
+    #   - ~0.9M candidate postings/term (the 1M-doc store): exact wins most
+    #     runs; ~1.9M/term (2M store): WAND wins 1-2-term queries (token
+    #     k=1: 748 vs 1,129 ms) -> threshold between the two measurements.
+    #   - 3-4-term disjunctions: WAND loses at EVERY size (sum-of-per-term
+    #     bounds vs θ keeps windows alive, skip ~0; the 4-term query at 2M:
+    #     22.8s WAND vs 2.5s exact) -> never auto-WAND above 2 terms.
+    # Both paths are rank-identical (tested); these knobs only pick the
+    # cheaper plan.
+    wand_auto_min_postings_per_term: int = 1_500_000
+    wand_auto_max_terms: int = 2
 
     extra: dict = field(default_factory=dict)
 

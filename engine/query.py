@@ -433,20 +433,41 @@ class IndexReader:
         return self._live_cache
 
     def search_wand(
-        self, query_terms: list[str], k: int = 10, stats_out: dict | None = None
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        stats_out: dict | None = None,
+        strategy: str = "wand",
     ) -> DataFrame:
         """Block-max WAND top-k from the cached index.
 
         When the superseded-doc set exceeds cfg.max_deleted_driver, falls
         back to the exact path (distributed live-docs anti-join) — same
-        results, no giant broadcast set. `stats_out` (evidence/debug):
-        filled with candidate/scored block counts, see wand_topk; on the
-        exact-path fallback it gets {"fallback_exact": True} instead."""
+        results, no giant broadcast set. `strategy="auto"` is the
+        cost-based plan choice (engine.wand.wand_is_cheaper over the
+        memoized per-term dfs): few-term long-postings queries run WAND,
+        everything else the vectorized exact path — rank-identical either
+        way. `stats_out` (evidence/debug): candidate/scored block counts
+        (see wand_topk) plus "strategy" = which plan actually ran."""
+        from engine.wand import wand_is_cheaper, wand_topk
+
+        if strategy not in ("wand", "auto"):
+            raise ValueError(f"strategy must be 'wand' or 'auto', got {strategy!r}")
         if self._deleted_overflow:
             if stats_out is not None:
                 stats_out["fallback_exact"] = True
+                stats_out["strategy"] = "exact_fallback"
             return self.search(query_terms, k=k)
-        from engine.wand import wand_topk
+        if strategy == "auto":
+            df_map = self.df_for_terms(query_terms)
+            if stats_out is not None:
+                stats_out["candidate_postings"] = int(sum(df_map.values()))
+            if not wand_is_cheaper(df_map, self.cfg):
+                if stats_out is not None:
+                    stats_out["strategy"] = "exact_auto"
+                return self.search(query_terms, k=k)
+            if stats_out is not None:
+                stats_out["strategy"] = "wand_auto"
 
         return wand_topk(
             self.spark,

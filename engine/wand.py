@@ -316,6 +316,19 @@ def wand_topk(
     )
 
 
+def wand_is_cheaper(df_map: dict[str, int], cfg: IndexConfig) -> bool:
+    """Cost model behind strategy="auto": block-max WAND beats the
+    vectorized exact path only for few-term queries over long posting
+    lists (calibration in engine/config.py at the wand_auto_* knobs —
+    per-term candidate postings drive the skip fraction; 3+-term
+    disjunctions keep the summed bound above θ and skip ~nothing)."""
+    n = max(1, len(df_map))
+    return (
+        n <= cfg.wand_auto_max_terms
+        and sum(df_map.values()) / n >= cfg.wand_auto_min_postings_per_term
+    )
+
+
 def search_store_wand(
     spark: SparkSession,
     store,
@@ -336,35 +349,36 @@ def search_store_wand(
     stored pre-merge semantics (same as search_store).
 
     `strategy`: "wand" always runs the block-max scan; "auto" is the
-    cost-based choice — when the query's total candidate postings
-    (sum of the terms' df, known from term_stats before any scan) are below
-    cfg.wand_auto_exact_max_postings, the fully vectorized exact path is
-    cheaper than WAND's replication + windowed scan and is taken instead.
-    Both paths are rank-identical (tested), so the switch is invisible in
-    results; stats_out["strategy"] records which plan ran.
+    cost-based choice (wand_is_cheaper): WAND runs only for queries of at
+    most cfg.wand_auto_max_terms terms whose per-term candidate postings
+    (df from term_stats, known before any scan) reach
+    cfg.wand_auto_min_postings_per_term; otherwise the fully vectorized
+    exact path is cheaper and is taken instead. Both paths are
+    rank-identical (tested), so the switch is invisible in results;
+    stats_out["strategy"] records which plan actually ran.
     """
     from engine.merge import live_doc_ids
 
     if strategy not in ("wand", "auto"):
         raise ValueError(f"strategy must be 'wand' or 'auto', got {strategy!r}")
-    stats = store.global_stats()
     q_terms = sorted(set(query_terms))
     df_map = {
         r["term"]: r["df"]
         for r in store.term_stats_df(spark).where(F.col("term").isin(q_terms)).collect()
     }
+    df_map = {t: df_map.get(t, 0) for t in q_terms}
     if strategy == "auto":
-        candidate_postings = sum(df_map.values())
-        if candidate_postings < cfg.wand_auto_exact_max_postings:
+        if stats_out is not None:
+            stats_out["candidate_postings"] = int(sum(df_map.values()))
+        if not wand_is_cheaper(df_map, cfg):
             from engine.query import search_store
 
             if stats_out is not None:
                 stats_out["strategy"] = "exact_auto"
-                stats_out["candidate_postings"] = candidate_postings
             return search_store(spark, store, q_terms, k=k, cfg=cfg)
         if stats_out is not None:
             stats_out["strategy"] = "wand_auto"
-            stats_out["candidate_postings"] = candidate_postings
+    stats = store.global_stats()
     excluded = None
     if len(store.live_segments()) > 1:
         docs = store.docs(spark)
@@ -380,6 +394,7 @@ def search_store_wand(
 
             if stats_out is not None:
                 stats_out["fallback_exact"] = True
+                stats_out["strategy"] = "exact_fallback"
             return search_store(spark, store, q_terms, k=k, cfg=cfg)
         excluded = frozenset(r["doc_id"] for r in rows)
     return wand_topk(

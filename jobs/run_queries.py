@@ -2,7 +2,7 @@
 
 spark-submit --py-files <engine.zip> jobs/run_queries.py \
     --index-root /data/indexes --index web \
-    --query "engine spark" [--k 10] [--executor exact|wand] [--repeat 3]
+    --query "engine spark" [--k 10] [--executor exact|wand|auto] [--repeat 3]
 
 Prints one JSON line per query with results + latency.
 """
@@ -26,7 +26,12 @@ def main() -> None:
     ap.add_argument("--query", action="append", required=True,
                     help="space-separated terms; repeatable")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--executor", default="wand", choices=["exact", "wand"])
+    ap.add_argument("--executor", default="wand",
+                    choices=["exact", "wand", "auto"],
+                    help="auto = cost-based choice (engine.wand."
+                         "wand_is_cheaper): few-term long-postings queries "
+                         "run block-max WAND, everything else the exact "
+                         "path — identical results either way")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--routing", default=None,
                     help="restrict to one routing partition (D9 routed "
@@ -85,8 +90,11 @@ def main() -> None:
                     spark, store, terms, k=args.k,
                     conjunctive=args.conjunctive, routing=args.routing,
                 ).collect()
-            elif args.executor == "wand":
-                rows = reader.search_wand(terms, k=args.k).collect()
+            elif args.executor in ("wand", "auto"):
+                strategy = "auto" if args.executor == "auto" else "wand"
+                rows = reader.search_wand(
+                    terms, k=args.k, strategy=strategy
+                ).collect()
             else:
                 rows = reader.search(
                     terms, k=args.k, conjunctive=args.conjunctive

@@ -49,9 +49,9 @@ def test_wand_rank_identical_to_exact(spark, indexed, terms, k):
 
 
 def test_store_wand_auto_strategy(spark, tmp_path):
-    """strategy="auto" picks the exact path below the candidate-postings
-    threshold and the WAND scan above it — identical results either way,
-    with the decision recorded in stats_out."""
+    """strategy="auto" runs WAND only for few-term queries over long
+    posting lists; everything else takes the exact path — identical
+    results either way, with the decision recorded in stats_out."""
     from dataclasses import replace
 
     from engine.config import DEFAULT_CONFIG
@@ -63,17 +63,18 @@ def test_store_wand_auto_strategy(spark, tmp_path):
     exact = [(r["doc_id"], r["score"])
              for r in search_store(spark, store, terms, k=10).collect()]
 
-    # tiny store: auto must fall below the default threshold -> exact path
+    # tiny store: per-term postings fall below the default threshold -> exact
     out: dict = {}
     got = [(r["doc_id"], r["score"]) for r in search_store_wand(
         spark, store, terms, k=10, strategy="auto", stats_out=out).collect()]
     assert got == exact
     assert out["strategy"] == "exact_auto"
-    assert 0 < out["candidate_postings"] < DEFAULT_CONFIG.wand_auto_exact_max_postings
+    assert 0 < out["candidate_postings"] \
+        < 2 * DEFAULT_CONFIG.wand_auto_min_postings_per_term
 
-    # threshold forced to 0: auto must run the WAND scan, same results
+    # postings threshold forced to 0: 2-term query -> the WAND scan runs
     out = {}
-    cfg0 = replace(DEFAULT_CONFIG, wand_auto_exact_max_postings=0)
+    cfg0 = replace(DEFAULT_CONFIG, wand_auto_min_postings_per_term=0)
     got = [(r["doc_id"], r["score"]) for r in search_store_wand(
         spark, store, terms, k=10, strategy="auto", cfg=cfg0,
         stats_out=out).collect()]
@@ -81,8 +82,32 @@ def test_store_wand_auto_strategy(spark, tmp_path):
     assert out["strategy"] == "wand_auto"
     assert out["blocks_scored"] >= 0  # the scan actually ran
 
+    # term-count guard: 3-term disjunctions go exact even with long postings
+    out = {}
+    terms3 = ["engine", "spark", "index"]
+    exact3 = [(r["doc_id"], r["score"])
+              for r in search_store(spark, store, terms3, k=10).collect()]
+    got = [(r["doc_id"], r["score"]) for r in search_store_wand(
+        spark, store, terms3, k=10, strategy="auto", cfg=cfg0,
+        stats_out=out).collect()]
+    assert got == exact3
+    assert out["strategy"] == "exact_auto"
+
+    # the held-open reader honors the same choice
+    from engine.query import IndexReader
+
+    reader = IndexReader(spark, store)
+    out = {}
+    got = [(r["doc_id"], r["score"]) for r in reader.search_wand(
+        terms, k=10, strategy="auto", stats_out=out).collect()]
+    assert got == exact
+    assert out["strategy"] == "exact_auto"
+    reader.close()
+
     with pytest.raises(ValueError):
         search_store_wand(spark, store, terms, strategy="best_effort")
+    with pytest.raises(ValueError):
+        IndexReader(spark, store).search_wand(terms, strategy="best_effort")
 
 
 def test_store_wand_with_superseded_docs(spark, tmp_path):
