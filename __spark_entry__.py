@@ -384,13 +384,24 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     from engine.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=64, bands=16, threshold=0.5)
+    # max_bucket_size=None: the DuckDB oracle is the UNCAPPED banding, so
+    # the value-hash contract must run uncapped too (exact at any sf, not
+    # just where no bucket happens to be hot). The capped default is the
+    # corpus-scale path and has its own property test.
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=64, bands=16, threshold=0.5,
+        max_bucket_size=None,
+    )
 
 
 def _q_simhash_pairs(spark, sf_dir):
     from engine.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+    # max_bucket_size=None for the same reason as _q_minhash_lsh: the
+    # oracle filters ALL pairs (sound vs uncapped blocking by pigeonhole).
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=10, max_bucket_size=None
+    )
 
 
 def _q_cosine_topk(spark, sf_dir):

@@ -660,9 +660,11 @@ as its first.
             if best_paired is None or eff > best_paired[1]:
                 best_paired = (pid, eff)
         if both_quiet and mode == "strong" and lo == 8 and hi == 32:
-            strong_pairs.append((eff, cells[lo].get("docs")))
+            # docs may be absent on old-format rows; 0 keeps the
+            # {:,}-formatted headline from crashing report generation
+            strong_pairs.append((eff, cells[lo].get("docs") or 0))
             if best_strong_pair is None or eff > best_strong_pair[0]:
-                best_strong_pair = (eff, cells[lo].get("docs"))
+                best_strong_pair = (eff, cells[lo].get("docs") or 0)
     paired_md = ""
     if paired_rows:
         paired_md = (

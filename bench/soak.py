@@ -96,7 +96,9 @@ def main() -> None:
 
     if reuse:
         total_docs = int(store.global_stats()["n_docs"])
-        n_batches, n_merges, merge_sec, build_sec = 0, 0, 0.0, 0.0
+        # None, not 0: a query-only run measured no build — the report
+        # renders absent fields as "—" instead of a zero-second build
+        n_batches, n_merges, merge_sec, build_sec = None, None, None, None
         per_batch_sec: list = []
         build_probe_summary: dict = {}
         print(f"reusing store at {root}: {total_docs:,} docs, "
@@ -250,8 +252,8 @@ def main() -> None:
         "n_batches": n_batches,
         "n_merges": n_merges,
         "live_segments": len(store.live_segments()),
-        "build_sec": round(build_sec, 2),
-        "merge_sec": round(merge_sec, 2),
+        "build_sec": round(build_sec, 2) if build_sec is not None else None,
+        "merge_sec": round(merge_sec, 2) if merge_sec is not None else None,
         "docs_per_sec": round(total_docs / build_sec, 1) if build_sec else None,
         "reused_store": reuse,
         "concurrency": conc,

@@ -48,7 +48,7 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
-    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
+    nbytes = _varint_nbytes(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -234,9 +234,9 @@ def pfor_pack_blocks(
     out = np.zeros(total, dtype=np.uint8)
     out[offs[:-1]] = b_blk.astype(np.uint8)
     out[offs[:-1] + 1] = n_exc.astype(np.uint8)
+    local = np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns)
     if int(b_blk.max()) > 0:
         bits = np.zeros(total * 8, dtype=np.uint8)
-        local = np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns)
         base = np.repeat((offs[:-1] + 2) * 8, ns) + local * b_rep
         for wdt in np.unique(b_blk):
             if wdt == 0:
@@ -254,8 +254,7 @@ def pfor_pack_blocks(
         exc_starts = np.concatenate(([0], np.cumsum(n_exc[:-1])))
         exc_rank = np.arange(tot_exc, dtype=np.int64) - exc_starts[exc_block]
         pos_start = offs[:-1] + 2 + payload
-        exc_local = (np.arange(v.size, dtype=np.int64) - np.repeat(b_starts, ns))[exc]
-        out[pos_start[exc_block] + exc_rank] = exc_local.astype(np.uint8)
+        out[pos_start[exc_block] + exc_rank] = local[exc].astype(np.uint8)
         # highs are already in (block, position) order; scatter each varint's
         # bytes to its block's high section (loop over byte index, <= 10)
         high_arr = np.frombuffer(high_buf, dtype=np.uint8)

@@ -243,13 +243,23 @@ def drop_hot_buckets(
     bands; truly degenerate clusters belong to exact_duplicates anyway."""
     if max_bucket_size is None:
         return banded
+    # The guard (and the self-join that follows in every caller) reads
+    # `banded` several times; without a persist each action would re-run
+    # the whole signature pipeline upstream — the expensive stage this
+    # guard exists to protect. banded is the trimmed (doc_id, key...)
+    # relation (a few ints per row), so MEMORY_AND_DISK is safe at scale.
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.persist(StorageLevel.MEMORY_AND_DISK)
     tot = sizes.agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum((F.col("n") > max_bucket_size).cast("long")).alias("nh"),
     ).collect()[0]
     n_buckets, n_hot = int(tot["nb"]), int(tot["nh"] or 0)
     if n_hot == 0:
+        sizes.unpersist()
         return banded
     if n_hot == n_buckets:
         # EVERY bucket is hot: the cap would silently empty the candidate
@@ -257,6 +267,7 @@ def drop_hot_buckets(
         # a wide hamming radius has bands of only a few bits, so at corpus
         # scale every bucket exceeds any sane cap. Refuse instead of
         # returning a confident-looking empty result.
+        sizes.unpersist()
         raise ValueError(
             f"{what}: all {n_buckets} LSH buckets exceed "
             f"max_bucket_size={max_bucket_size} — the cap would drop every "
@@ -266,6 +277,7 @@ def drop_hot_buckets(
     hot_rows = sizes.where(
         F.col("n") > max_bucket_size
     ).collect()  # <= n_rows / max_bucket_size rows — bounded
+    sizes.unpersist()
     import logging
 
     logging.getLogger(__name__).warning(
@@ -516,7 +528,8 @@ def minhash_lsh_oracle_sql(
     """Exact SQL twin of minhash_lsh_pairs: same shingles, same
     (h1 + i*h2) mod 2^60 permutation hashes, same md5 band buckets, same
     Jaccard verification. NOTE: does not model the hot-bucket skew guard —
-    at oracle scale (sf0.01, 500 docs) no bucket can reach max_bucket_size."""
+    the driver query pins max_bucket_size=None so the contract is exact at
+    ANY scale, not just where no bucket happens to be hot."""
     rows = num_perm // bands
     toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
     return f"""
@@ -579,7 +592,10 @@ def simhash_oracle_sql(
     with the same bit weights (bit 63 = -2^63), then filters ALL pairs by
     hamming <= max_hamming. Skipping the band-blocking is sound because the
     radius-derived bands have recall 1.0 by pigeonhole (simhash_bands), so
-    blocked-then-filtered == all-pairs-filtered."""
+    blocked-then-filtered == all-pairs-filtered — for the UNCAPPED engine
+    call only (max_bucket_size=None, what the driver query pins): a capped
+    run may drop pairs whose every shared band is hot, which this all-pairs
+    oracle keeps."""
     toks = (f"unnest(regexp_extract_all(lower(coalesce({text_col}, '')), "
             f"'[\\p{{L}}\\p{{N}}]+'))")
     pw_rows = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))

@@ -96,7 +96,11 @@ def measure(spark, store, label: str, queries) -> dict:
         "kind": "wand_skip",
         "label": label,
         "n_docs": int(stats["n_docs"]),
-        "avg_postings_per_term_query": round(
+        # candidate BLOCKS (not postings — each block holds up to
+        # bucket_postings entries), averaged over the query set. Historic
+        # wand_skip.jsonl rows carry the same value under the misleading
+        # key "avg_postings_per_term_query"; read those as block counts.
+        "avg_candidate_blocks_per_query": round(
             sum(q.get("candidate_blocks", 0) for q in per_query) / len(per_query), 1
         ),
         "total_block_range_replicas": tot_reps,
