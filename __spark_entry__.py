@@ -130,6 +130,27 @@ def _q_bm25_topk_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES match_phrase (engine/phrase.py): "table hash" is a mid-selectivity
+# bigram in the synthetic corpus (46 docs at sf0.01).
+_PHRASE = ["table", "hash"]
+
+
+def _q_phrase_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ptf) exact-phrase occurrence counts (Lucene ExactPhraseMatcher
+    semantics, overlaps counted)."""
+    from engine.phrase import phrase_frequencies
+
+    return phrase_frequencies(spark, _docs(spark, sf_dir), _PHRASE)
+
+
+def _q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase top-k: BM25 with tf := phrase frequency and
+    idf := summed member-term idfs (Lucene PhraseQuery scoring)."""
+    from engine.phrase import bm25_phrase_topk
+
+    return bm25_phrase_topk(spark, _docs(spark, sf_dir), _PHRASE, k=20)
+
+
 def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, _docs(spark, sf_dir), ["spark", "table"], k=20, conjunctive=True
@@ -498,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_fields": _q_bm25_topk_fields,
+        "phrase_freqs": _q_phrase_freqs,
+        "bm25_phrase_topk": _q_bm25_phrase_topk,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
@@ -549,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
         "bm25_topk_fields": _bm25_fields_oracle(),
+        "phrase_freqs": _phr().phrase_freq_oracle_sql(_PHRASE),
+        "bm25_phrase_topk": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
         "bm25_topk_conjunctive": bm25_topk_oracle_sql(
             ["spark", "table"], k=20, conjunctive=True
         ),
@@ -685,6 +710,12 @@ def _bm25_fields_oracle() -> str:
     return bm25_fields_oracle_sql(
         FLAGSHIP_TERMS, [(title_expr, 2.0), ("text", 1.0)], k=20
     )
+
+
+def _phr():
+    from engine import phrase
+
+    return phrase
 
 
 def _ts():

@@ -1,0 +1,251 @@
+"""Phrase queries (ES `match_phrase`): positional matching + BM25 phrase
+scoring, DataFrame-native.
+
+The reference posts the whole JSON `_source` to Elasticsearch 5.5
+(/root/reference/src/main/java/org/elasticsearch/kafka/indexer/service/ElasticSearchBatchService.java:60),
+so every indexed field is phrase-searchable there — `match_phrase` is the
+first query an ES user runs after `match`. This module re-implements it
+natively with Lucene's public PhraseQuery semantics (slop 0 = exact
+adjacency):
+
+- a document matches when the phrase's terms occur at consecutive
+  positions, in order;
+- the score is BM25 with tf replaced by the PHRASE frequency (number of
+  occurrences of the whole phrase in the doc) and idf replaced by the SUM
+  of the member terms' idfs, one contribution per phrase position
+  (repeated terms count each time) — Lucene PhraseQuery + BM25Similarity.
+
+Scale shape (the 100 TB lens):
+- The positional token stream `posexplode(tokens(text))` is
+  broadcast-semi-filtered to the phrase's terms BEFORE any shuffle, so the
+  groupBy sees only matching occurrences — never the full corpus positions.
+- Adjacency is the classic positional-join normalization: a token at
+  position p matching phrase slot i votes for base position p - i; a base
+  collecting all n slots is one phrase occurrence. One shuffle on
+  (doc_id, base), a second tiny one on doc_id (only matching docs survive).
+- df / corpus stats / idf-sum are single-row or per-term aggregates,
+  broadcast into the scoring join. Top-k is a TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS, TOKEN_PATTERN, IndexConfig
+from engine.query import corpus_stats, doc_lengths
+
+
+def token_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, term) — the positional token stream, pos 0-based."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+
+
+def _phrase_slots(spark: SparkSession, phrase: list[str]) -> DataFrame:
+    """(pidx, term): one row per phrase position (repeats kept)."""
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "pidx int, term string"
+    )
+
+
+def phrase_frequencies(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ptf) for docs containing the exact phrase (ptf >= 1).
+
+    ptf = number of occurrences of the whole phrase (overlaps allowed,
+    e.g. "a a" occurs twice in "a a a") — Lucene ExactPhraseMatcher
+    freq semantics.
+    """
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("empty phrase")
+    slots = _phrase_slots(spark, phrase)
+    # votes: (doc_id, base, pidx) — unique rows because (doc_id, pos) is
+    # unique in the positional stream and base = pos - pidx.
+    votes = token_positions(docs, id_col, text_col).join(
+        F.broadcast(slots), "term"
+    ).select(
+        "doc_id", (F.col("pos") - F.col("pidx")).alias("base"), "pidx"
+    )
+    occurrences = (
+        votes.groupBy("doc_id", "base")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .where((F.col("n_slots") == F.lit(n)) & (F.col("base") >= 0))
+    )
+    return occurrences.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ptf")
+    )
+
+
+def bm25_phrase_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase BM25 top-k over a raw document table.
+
+    score(d) = [sum over phrase positions i of idf(term_i)]
+               * ptf / (ptf + k1 * (1 - b + b * |d| / avgdl))
+    — the engine's BM25 form (same as bm25_topk, constant (k1+1) factor
+    dropped: rank-identical) with tf := phrase frequency and idf := summed
+    member-term idfs (Lucene PhraseQuery scoring).
+    Returns (doc_id, score), top-k by (score desc, doc_id asc).
+    """
+    distinct_terms = sorted(set(phrase))
+    q = spark.createDataFrame([(t,) for t in distinct_terms], "term string")
+    # per-term multiplicity in the phrase: repeated terms contribute their
+    # idf once per phrase position.
+    mult = spark.createDataFrame(
+        [(t, phrase.count(t)) for t in distinct_terms], "term string, mult int"
+    )
+
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+
+    # df for the phrase's terms only (broadcast-semi-filter before shuffle;
+    # identical values to full-corpus df for those terms).
+    matched = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_sum = (
+        dfreq.join(F.broadcast(mult), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .agg(
+            F.sum(
+                F.col("mult")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+            ).alias("idf_sum")
+        )
+    )
+
+    ptf = phrase_frequencies(spark, docs, phrase, id_col, text_col)
+    denom = F.col("ptf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+    )
+    return (
+        ptf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(idf_sum))
+        .select(
+            "doc_id",
+            F.round(F.col("idf_sum") * F.col("ptf") / denom, SCORE_DECIMALS).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL twins
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def _ptf_cte(
+    phrase: list[str], table: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB CTE body: (doc_id, ptf) — phrase frequency over the 1-based
+    token list, computed with a list_filter lambda over candidate start
+    positions [1, len(t) - n + 1] (empty when the doc is shorter than the
+    phrase)."""
+    n = len(phrase)
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
+    conds = " AND ".join(
+        f"t[i+{j}] = {_sql_quote(w)}" if j else f"t[i] = {_sql_quote(w)}"
+        for j, w in enumerate(phrase)
+    )
+    return (
+        f"SELECT doc_id, CAST(len(list_filter(range(1, len(t) - {n} + 2),"
+        f" i -> {conds})) AS BIGINT) AS ptf\n"
+        f"  FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table})"
+    )
+
+
+def phrase_freq_oracle_sql(
+    phrase: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+WITH ptf AS (
+  {_ptf_cte(phrase, table, id_col, text_col)}
+)
+SELECT doc_id, ptf FROM ptf WHERE ptf > 0
+"""
+
+
+def bm25_phrase_oracle_sql(
+    phrase: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
+    distinct_terms = sorted(set(phrase))
+    mult_values = ", ".join(
+        f"({_sql_quote(t)}, {phrase.count(t)})" for t in distinct_terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), dl AS (
+  SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+), q(term, mult) AS (
+  VALUES {mult_values}
+), idfsum AS (
+  SELECT sum(q.mult * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+  FROM q JOIN dfreq d USING (term) CROSS JOIN stats s
+), ptf AS (
+  {_ptf_cte(phrase, table, id_col, text_col)}
+)
+SELECT p.doc_id,
+       round(i.idf_sum * p.ptf
+             / (p.ptf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / s.avgdl)),
+             {SCORE_DECIMALS}) AS score
+FROM ptf p
+JOIN dl USING (doc_id)
+CROSS JOIN stats s
+CROSS JOIN idfsum i
+WHERE p.ptf > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
