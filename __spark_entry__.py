@@ -151,6 +151,49 @@ def _q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_phrase_topk(spark, _docs(spark, sf_dir), _PHRASE, k=20)
 
 
+_PHRASE_STORE_CACHE: dict = {}
+
+
+def _phrase_store(spark: SparkSession, sf_dir: str):
+    """Positions-enabled store (IndexConfig(store_positions=True)): 2 ingest
+    batches + a merge, so the positional sidecar is exercised through BOTH
+    the batch write and the merge carry-through."""
+    if sf_dir in _PHRASE_STORE_CACHE:
+        return _PHRASE_STORE_CACHE[sf_dir]
+    import math
+    import tempfile
+
+    from engine.config import IndexConfig
+    from engine.ingest import as_partitioned_source, run_ingest_loop
+    from engine.merge import merge_segments
+    from engine.segments import IndexStore
+
+    cfg = IndexConfig(store_positions=True)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    src = as_partitioned_source(
+        _pages_from_documents(docs), num_partitions=4, id_col="row_id"
+    )
+    root = tempfile.mkdtemp(prefix="sparkgraft_posstore_")
+    store = IndexStore(root, "phrase_idx", cfg=cfg).create()
+    rpp = max(1, math.ceil(n / (4 * 2)))  # ~2 ingest batches
+    run_ingest_loop(spark, store, src, rows_per_partition=rpp, cfg=cfg)
+    merge_segments(spark, store, cfg=cfg)
+    _PHRASE_STORE_CACHE[sf_dir] = store
+    return store
+
+
+def _q_bm25_phrase_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase answered from the persisted index's positional sidecar
+    (engine/positions.py) — no raw text touched at query time. Store doc ids
+    coincide with documents.doc_id (padded-url rank order), and the merged
+    stats cover the whole corpus, so the raw-corpus phrase oracle applies."""
+    from engine.positions import search_store_phrase
+
+    store = _phrase_store(spark, sf_dir)
+    return search_store_phrase(spark, store, _PHRASE, k=20)
+
+
 def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, _docs(spark, sf_dir), ["spark", "table"], k=20, conjunctive=True
@@ -521,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fields": _q_bm25_topk_fields,
         "phrase_freqs": _q_phrase_freqs,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
+        "bm25_phrase_store": _q_bm25_phrase_store,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
@@ -574,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_fields": _bm25_fields_oracle(),
         "phrase_freqs": _phr().phrase_freq_oracle_sql(_PHRASE),
         "bm25_phrase_topk": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
+        "bm25_phrase_store": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
         "bm25_topk_conjunctive": bm25_topk_oracle_sql(
             ["spark", "table"], k=20, conjunctive=True
         ),

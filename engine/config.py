@@ -42,6 +42,13 @@ class IndexConfig:
     # codec in _meta.json at create(); all its segments share it.
     codec: str = "varint"
 
+    # Opt-in positional postings sidecar (engine/positions.py): each segment
+    # additionally stores per-(term, doc) token positions (delta+varint), so
+    # the store can answer ES match_phrase queries without raw text. Off by
+    # default — positions roughly double index size and build cost (the
+    # Lucene positions-vs-docs-only mapping tradeoff).
+    store_positions: bool = False
+
     # Micro-ingest batch sizing (reference: 1 MiB/partition poll bound,
     # jobs/ConsumerManager.java:52-55). We bound by rows.
     rows_per_batch: int = 100_000

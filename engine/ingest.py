@@ -469,6 +469,19 @@ def _process_window_body(
             },
             term_metrics=term_metrics,
         )
+        if cfg.store_positions:
+            # positional sidecar (engine/positions.py): written before the
+            # ledger commit so a crash leaves an orphan segment dir the
+            # deterministic re-run overwrites (same contract as postings)
+            from engine.positions import build_position_postings, write_segment_positions
+
+            write_segment_positions(
+                store, segment_id,
+                build_position_postings(
+                    docs_ided, cfg, text_col="extracted_text",
+                    routing_col=cfg.routing_col if routed else None,
+                ),
+            )
         mark("build_write_sec", _t)
         mx, md = term_metrics.get("max_df"), term_metrics.get("median_df")
         build_s = time.monotonic() - t0

@@ -200,6 +200,23 @@ def _merge_segments_body(
         # merged segment gets the globally range-partitioned layout — it is
         # the long-lived segment queries hit; micro-ingest segments skip it
         store.write_segment(out_id, blocks, live, stats, ranged=True)
+        from engine.positions import store_has_positions, write_segment_positions
+
+        if store_has_positions(store, inputs):
+            # doc ids survive the merge unchanged, so merged positions are a
+            # filter (drop superseded docs — same broadcast/semi-join shapes
+            # as the posting expunge above) + rewrite; blobs carry verbatim
+            posn = store.positions(spark, inputs)
+            if n_dead == 0:
+                merged_pos = posn
+            elif n_dead <= BROADCAST_DEAD_MAX:
+                dead_pos = docs.select("doc_id").join(
+                    live.select("doc_id"), "doc_id", "left_anti"
+                )
+                merged_pos = posn.join(F.broadcast(dead_pos), "doc_id", "left_anti")
+            else:
+                merged_pos = posn.join(live.select("doc_id"), "doc_id", "left_semi")
+            write_segment_positions(store, out_id, merged_pos)
         store.commit(
             LedgerEntry(
                 entry_id=entry_id,

@@ -359,6 +359,11 @@ class IndexStore:
     def docs(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
         return self._read_union(spark, "docs", segments)
 
+    def positions(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
+        """Positional-postings sidecar union (engine/positions.py); present
+        only for segments built with IndexConfig(store_positions=True)."""
+        return self._read_union(spark, "positions", segments)
+
     def term_stats_df(self, spark: SparkSession, segments: list[str] | None = None) -> DataFrame:
         """(term, df) summed over `segments`. Merged (long-lived) segments
         have a persisted term_stats table; micro-ingest segments don't
