@@ -200,6 +200,34 @@ def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES prefix query (engine/prefix.py): constant-score multi-term expansion;
+# "s" expands to several vocabulary terms (scan/slow/small/sort/spark/...)
+_PREFIX = "s"
+
+
+def _q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.prefix import prefix_match
+
+    return prefix_match(spark, _docs(spark, sf_dir), _PREFIX, k=25)
+
+
+def _q_prefix_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query answered from the persisted index: StringStartsWith is
+    pushed to the posting-block scan, matching blocks decode doc-ids-only.
+    Store doc ids map back to documents.doc_id via the padded url."""
+    from engine.prefix import search_store_prefix
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store_prefix(spark, store, _PREFIX, k=None)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k (D7): rank-identical to the exact BM25 oracle but
     decodes only blocks whose upper bound can still enter the top-k."""
@@ -565,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_freqs": _q_phrase_freqs,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
         "bm25_phrase_store": _q_bm25_phrase_store,
+        "prefix_match": _q_prefix_match,
+        "prefix_search_store": _q_prefix_search_store,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
@@ -619,6 +649,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_freqs": _phr().phrase_freq_oracle_sql(_PHRASE),
         "bm25_phrase_topk": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
         "bm25_phrase_store": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
+        "prefix_match": _pfx().prefix_oracle_sql(_PREFIX, k=25),
+        "prefix_search_store": _pfx().prefix_oracle_sql(_PREFIX, k=25),
         "bm25_topk_conjunctive": bm25_topk_oracle_sql(
             ["spark", "table"], k=20, conjunctive=True
         ),
@@ -761,6 +793,12 @@ def _phr():
     from engine import phrase
 
     return phrase
+
+
+def _pfx():
+    from engine import prefix
+
+    return prefix
 
 
 def _ts():
