@@ -35,6 +35,8 @@ def main() -> None:
         "bm25_topk", "bm25_topk_fields", "bm25_topk_conjunctive", "bm25_topk_wand",
         "bm25_topk_store", "postings_roundtrip", "postings_roundtrip_pfor",
         "bm25_topk_indexed",
+        "phrase_freqs", "bm25_phrase_topk", "bm25_phrase_store",
+        "prefix_match", "prefix_search_store",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",

@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--codec", default="varint", choices=["varint", "pfor"],
                     help="posting-block codec recorded at store create "
                          "(existing stores keep theirs)")
+    ap.add_argument("--store-positions", action="store_true",
+                    help="also write the positional-postings sidecar per "
+                         "segment (engine/positions.py) so the index can "
+                         "answer match_phrase queries; roughly doubles "
+                         "index size and build cost")
     args = ap.parse_args()
 
     from engine.corpus import webpages
@@ -64,8 +69,8 @@ def main() -> None:
 
     from engine.config import IndexConfig
 
-    store = IndexStore(args.index_root, args.index,
-                       cfg=IndexConfig(codec=args.codec))
+    cfg = IndexConfig(codec=args.codec, store_positions=args.store_positions)
+    store = IndexStore(args.index_root, args.index, cfg=cfg)
     if not store.exists():
         store.create()
 
@@ -107,6 +112,7 @@ def main() -> None:
         custom_offsets=custom,
         max_batches=args.max_batches,
         stop_requested=lambda: stopping["flag"],
+        cfg=cfg,
     )
     for r in results:
         print(json.dumps(r.metrics))

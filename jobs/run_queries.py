@@ -23,8 +23,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-root", default="/tmp/engine_indexes")
     ap.add_argument("--index", default="web")
-    ap.add_argument("--query", action="append", required=True,
+    ap.add_argument("--query", action="append", default=None,
                     help="space-separated terms; repeatable")
+    ap.add_argument("--phrase", action="append", default=None,
+                    help="exact phrase (space-separated, order matters); "
+                         "needs a store built with --store-positions; "
+                         "repeatable")
+    ap.add_argument("--prefix", action="append", default=None,
+                    help="constant-score prefix query (ES `prefix`); "
+                         "repeatable")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--executor", default="wand",
                     choices=["exact", "wand", "auto"],
@@ -53,6 +60,10 @@ def main() -> None:
                          "reference's addAliasWithRoutingToExistingIndex")
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
+    if not (args.query or args.phrase or args.prefix):
+        ap.error("need at least one of --query / --phrase / --prefix")
+    if (args.phrase or args.prefix) and (args.routing or args.alias):
+        ap.error("--phrase/--prefix do not take --routing/--alias")
 
     from engine.query import IndexReader, search_store, search_via_alias
     from engine.segments import IndexStore
@@ -74,7 +85,38 @@ def main() -> None:
     direct = args.routing is None and args.alias is None
     reader = IndexReader(spark, store) if direct else None
 
-    for q in args.query:
+    for ph in args.phrase or []:
+        phrase = ph.split()
+        from engine.positions import search_store_phrase
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = search_store_phrase(spark, store, phrase, k=args.k).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "phrase": phrase,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    for p in args.prefix or []:
+        from engine.prefix import search_store_prefix
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = search_store_prefix(spark, store, p, k=args.k).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "prefix": p,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    for q in args.query or []:
         terms = q.split()
         lats = []
         rows = []
