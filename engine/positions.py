@@ -170,45 +170,40 @@ def store_has_positions(store, segments: list[str] | None = None) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def search_store_phrase(
+def phrase_topk_from_positions(
     spark: SparkSession,
-    store,
+    positions: DataFrame,
+    doc_len_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
     phrase: list[str],
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
+    excluded_doc_ids=frozenset(),
 ) -> DataFrame:
-    """ES match_phrase over a persisted store with positions sidecars.
+    """Core match_phrase executor over a positions relation
+    (term, doc_id, n_pos, pos_blob[, ...]).
 
-    Same scoring as engine.phrase.bm25_phrase_topk (tf := phrase frequency,
-    idf := summed member-term idfs), with search_store's cross-segment
-    semantics: superseded docs are excluded from RESULTS via the live-docs
-    join, while df/n_docs/avgdl come from the stored per-segment stats
-    (which include superseded docs until a merge expunges them — exactly
-    Lucene/ES deleted-doc behavior).
+    `doc_len_df`: (doc_id, doc_len) for the docs allowed in RESULTS (the
+    caller restricts it to live docs as needed). `excluded_doc_ids`: a
+    bounded driver-side superseded set applied as a NOT IN literal (the
+    IndexReader path). Scoring matches engine.phrase.bm25_phrase_topk
+    (tf := phrase frequency, idf := summed member-term idfs) with
+    df/n_docs/avgdl from the caller's stored stats.
     """
-    from engine.merge import live_doc_ids
-
     if not phrase:
         raise ValueError("empty phrase")
-    if not store_has_positions(store):
-        raise ValueError(
-            f"index {store.name}: no positions sidecar on every live segment "
-            "(build with IndexConfig(store_positions=True) to serve phrase "
-            "queries)"
-        )
     n = len(phrase)
     distinct_terms = sorted(set(phrase))
     # term -> phrase slots it fills (repeated terms fill several)
     slots = {t: [i for i, w in enumerate(phrase) if w == t] for t in distinct_terms}
 
-    stats = store.global_stats()
-    posn = store.positions(spark).where(F.col("term").isin(distinct_terms))
+    posn = positions.where(F.col("term").isin(distinct_terms))
 
     # df per query term from the sidecar rows themselves: one row per
     # (term, doc) per segment and a doc lives in exactly one live segment,
     # so count(*) == stored df (includes superseded docs, matching stats).
     dfreq = posn.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = int(stats["n_docs"])
     # per-term multiplicity: a term repeated in the phrase contributes its
     # idf once per phrase position (engine.phrase.bm25_phrase_topk)
     mult = spark.createDataFrame(
@@ -268,15 +263,18 @@ def search_store_phrase(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("ptf"))
     )
+    if excluded_doc_ids:
+        # bounded superseded set as a NOT IN literal (IndexReader path —
+        # same shape as the reader's exact/WAND exclusion)
+        ptf = ptf.where(
+            ~F.col("doc_id").isin([int(d) for d in excluded_doc_ids])
+        )
 
-    docs = store.docs(spark)
-    live = live_doc_ids(docs) if len(store.live_segments()) > 1 else docs
-    avgdl = float(stats["avgdl"])
     denom = F.col("ptf") + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.lit(avgdl)
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.lit(float(avgdl))
     )
     return (
-        ptf.join(live.select("doc_id", "doc_len"), "doc_id")
+        ptf.join(doc_len_df.select("doc_id", "doc_len"), "doc_id")
         .crossJoin(F.broadcast(idf_sum))
         .select(
             "doc_id",
@@ -286,4 +284,41 @@ def search_store_phrase(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def search_store_phrase(
+    spark: SparkSession,
+    store,
+    phrase: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """ES match_phrase over a persisted store with positions sidecars.
+
+    Thin wrapper over phrase_topk_from_positions with search_store's
+    cross-segment semantics: superseded docs are excluded from RESULTS via
+    the live-docs join, while df/n_docs/avgdl come from the stored
+    per-segment stats (which include superseded docs until a merge expunges
+    them — exactly Lucene/ES deleted-doc behavior)."""
+    from engine.merge import live_doc_ids
+
+    if not store_has_positions(store):
+        raise ValueError(
+            f"index {store.name}: no positions sidecar on every live segment "
+            "(build with IndexConfig(store_positions=True) to serve phrase "
+            "queries)"
+        )
+    stats = store.global_stats()
+    docs = store.docs(spark)
+    live = live_doc_ids(docs) if len(store.live_segments()) > 1 else docs
+    return phrase_topk_from_positions(
+        spark,
+        store.positions(spark),
+        live.select("doc_id", "doc_len"),
+        int(stats["n_docs"]),
+        float(stats["avgdl"]),
+        phrase,
+        k=k,
+        cfg=cfg,
     )

@@ -361,6 +361,8 @@ class IndexReader:
         self.deleted: frozenset = frozenset()
         self._deleted_overflow = False
         self._live_cache = None  # lazy, overflow-only (see _live_docs_df)
+        self._positions_cache = None  # lazy, phrase-only (see search_phrase)
+        self._doc_len_cache = None
         if len(self.store.live_segments()) > 1:
             docs = self.store.docs(self.spark)
             deleted = docs.join(
@@ -398,6 +400,11 @@ class IndexReader:
         if self._live_cache is not None:
             self._live_cache.unpersist()
             self._live_cache = None
+        for attr in ("_positions_cache", "_doc_len_cache"):
+            c = getattr(self, attr, None)
+            if c is not None:
+                c.unpersist()
+                setattr(self, attr, None)
 
     def search(
         self, query_terms: list[str], k: int = 10, conjunctive: bool = False
@@ -482,6 +489,49 @@ class IndexReader:
             excluded_doc_ids=self.deleted or None,
             codec=self._codec,
             stats_out=stats_out,
+        )
+
+    def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:
+        """ES match_phrase from the held-open reader (query-server mode).
+
+        First phrase query lazily caches the positions sidecar union and a
+        (doc_id, doc_len) projection, so repeat phrase queries never
+        re-read parquet footers — the same searcher/reader split the
+        exact/WAND paths get from the cached postings. Result-identical to
+        engine.positions.search_store_phrase: superseded docs are excluded
+        via the bounded driver-side set (NOT IN literal) or, on overflow,
+        by restricting the cached doc-len projection to live docs."""
+        from engine.positions import phrase_topk_from_positions, store_has_positions
+
+        if not store_has_positions(self.store):
+            raise ValueError(
+                f"index {self.store.name}: no positions sidecar on every "
+                "live segment (build with IndexConfig(store_positions=True) "
+                "to serve phrase queries)"
+            )
+        if self._positions_cache is None:
+            self._positions_cache = self.store.positions(self.spark).cache()
+            self._positions_cache.count()
+        if self._doc_len_cache is None:
+            docs = self.store.docs(self.spark)
+            if self._deleted_overflow:
+                from engine.merge import live_doc_ids
+
+                docs = live_doc_ids(docs)
+            self._doc_len_cache = docs.select("doc_id", "doc_len").cache()
+            self._doc_len_cache.count()
+        return phrase_topk_from_positions(
+            self.spark,
+            self._positions_cache,
+            self._doc_len_cache,
+            int(self.stats["n_docs"]),
+            float(self.stats["avgdl"]),
+            phrase,
+            k=k,
+            cfg=self.cfg,
+            excluded_doc_ids=frozenset()
+            if self._deleted_overflow
+            else self.deleted,
         )
 
 

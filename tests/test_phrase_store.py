@@ -135,12 +135,82 @@ def test_store_phrase_excludes_superseded(spark, tmp_path):
     assert post_ids == pre_ids
 
 
+def test_reader_phrase_matches_store_path(spark, tmp_path):
+    """IndexReader.search_phrase (held-open reader: cached positions +
+    doc-len projections) is result-identical to search_store_phrase —
+    including superseded-doc exclusion via the reader's bounded NOT IN
+    set, the overflow fallback (live-docs-restricted doc-len cache), and
+    refresh() after a merge."""
+    from engine.query import IndexReader
+
+    cfg = IndexConfig(store_positions=True)
+    store = IndexStore(str(tmp_path), "rdidx", cfg=cfg).create()
+    batch0 = as_partitioned_source(
+        _pages(spark, TEXTS), num_partitions=2, id_col="row_id"
+    )
+    process_window(spark, store, batch0, batch_id=0, cfg=cfg)
+    # supersede url 0 (its original text matched the phrase)
+    upd = _pages(spark, ["no foxes in the update"], ts_base=10_000)
+    process_window(
+        spark, store,
+        as_partitioned_source(upd, num_partitions=2, id_col="row_id"),
+        batch_id=1, cfg=cfg,
+    )
+
+    ref = [(r["doc_id"], r["score"]) for r in
+           search_store_phrase(spark, store, PH, k=10, cfg=cfg).collect()]
+    assert {d for d, _ in ref} == {1, 3, 5}
+
+    reader = IndexReader(spark, store, cfg=cfg)
+    try:
+        assert not reader._deleted_overflow  # bounded NOT IN path
+        got = [(r["doc_id"], r["score"]) for r in
+               reader.search_phrase(PH, k=10).collect()]
+        assert got == ref
+        # repeat query serves from the cached projections: same result
+        assert [(r["doc_id"], r["score"]) for r in
+                reader.search_phrase(PH, k=10).collect()] == ref
+    finally:
+        reader.close()
+
+    # overflow path: cap=0 forces the distributed live-docs restriction
+    cfg0 = IndexConfig(store_positions=True, max_deleted_driver=0)
+    reader0 = IndexReader(spark, store, cfg=cfg0)
+    try:
+        assert reader0._deleted_overflow
+        assert [(r["doc_id"], r["score"]) for r in
+                reader0.search_phrase(PH, k=10).collect()] == ref
+    finally:
+        reader0.close()
+
+    # post-merge: the expunge changes n_docs/df (scores shift) — reader and
+    # store paths must still agree exactly, and the hit set is unchanged
+    merge_segments(spark, store, cfg=cfg)
+    ref_post = [(r["doc_id"], r["score"]) for r in
+                search_store_phrase(spark, store, PH, k=10, cfg=cfg).collect()]
+    assert {d for d, _ in ref_post} == {1, 3, 5}
+    reader = IndexReader(spark, store, cfg=cfg)
+    try:
+        assert [(r["doc_id"], r["score"]) for r in
+                reader.search_phrase(PH, k=10).collect()] == ref_post
+    finally:
+        reader.close()
+
+
 def test_phrase_requires_positions_sidecar(spark, tmp_path):
     store = IndexStore(str(tmp_path), "noidx").create()
     src = as_partitioned_source(_pages(spark, TEXTS[:4]), num_partitions=1, id_col="row_id")
     run_ingest_loop(spark, store, src, rows_per_partition=10)
     with pytest.raises(ValueError, match="positions sidecar"):
         search_store_phrase(spark, store, PH, k=5)
+    from engine.query import IndexReader
+
+    reader = IndexReader(spark, store)
+    try:
+        with pytest.raises(ValueError, match="positions sidecar"):
+            reader.search_phrase(PH, k=5)
+    finally:
+        reader.close()
 
 
 def test_routed_store_phrase(spark, tmp_path):
