@@ -200,6 +200,75 @@ def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES bool query (D14): should-terms scored, minimum_should_match=2 of the 4,
+# docs containing the must_not term excluded (non-scoring filter context).
+_BOOL_MSM = 2
+_BOOL_MUST_NOT = ["hash"]
+
+
+def _q_bm25_topk_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, k=20,
+        min_should_match=_BOOL_MSM, must_not_terms=_BOOL_MUST_NOT,
+    )
+
+
+def _q_bm25_topk_bool_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same bool query answered from the persisted index: must_not doc ids
+    come from the excluded term's posting blocks via the doc-ids-only
+    decode (pushed isin scan), minimum_should_match from the per-doc
+    matched-term count."""
+    from engine.query import search_store
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store(
+        spark, store, FLAGSHIP_TERMS, k=20,
+        min_should_match=_BOOL_MSM, must_not_terms=_BOOL_MUST_NOT,
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+# ES fuzzy query (D15): "part" within 2 edits expands against the corpus
+# vocabulary to {part, fast, sort, spark}; max_expansions=3 exercises the
+# deterministic (distance ASC, term ASC) truncation -> {part, fast, sort}.
+_FUZZY_TERM = "part"
+_FUZZY_EDITS = 2
+_FUZZY_EXPANSIONS = 3
+
+
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.fuzzy import fuzzy_match_topk
+
+    return fuzzy_match_topk(
+        spark, _docs(spark, sf_dir), _FUZZY_TERM, k=20,
+        max_edits=_FUZZY_EDITS, max_expansions=_FUZZY_EXPANSIONS,
+    )
+
+
+def _q_fuzzy_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query answered from the persisted index: the expansion scans
+    the store's term-stats relation (term dictionary — postings untouched),
+    then the bounded disjunction runs the pushed-isin indexed BM25 path."""
+    from engine.fuzzy import search_store_fuzzy
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store_fuzzy(
+        spark, store, _FUZZY_TERM, k=20,
+        max_edits=_FUZZY_EDITS, max_expansions=_FUZZY_EXPANSIONS,
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
 # ES prefix query (engine/prefix.py): constant-score multi-term expansion;
 # "s" expands to several vocabulary terms (scan/slow/small/sort/spark/...)
 _PREFIX = "s"
@@ -596,6 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix_match,
         "prefix_search_store": _q_prefix_search_store,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
+        "bm25_topk_bool": _q_bm25_topk_bool,
+        "bm25_topk_bool_store": _q_bm25_topk_bool_store,
+        "fuzzy_match": _q_fuzzy_match,
+        "fuzzy_search_store": _q_fuzzy_search_store,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
         "upsert_last_wins": _q_upsert_last_wins,
@@ -653,6 +726,22 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search_store": _pfx().prefix_oracle_sql(_PREFIX, k=25),
         "bm25_topk_conjunctive": bm25_topk_oracle_sql(
             ["spark", "table"], k=20, conjunctive=True
+        ),
+        "bm25_topk_bool": bm25_topk_oracle_sql(
+            FLAGSHIP_TERMS, k=20,
+            min_should_match=_BOOL_MSM, must_not_terms=_BOOL_MUST_NOT,
+        ),
+        "bm25_topk_bool_store": bm25_topk_oracle_sql(
+            FLAGSHIP_TERMS, k=20,
+            min_should_match=_BOOL_MSM, must_not_terms=_BOOL_MUST_NOT,
+        ),
+        "fuzzy_match": _fz().fuzzy_oracle_sql(
+            _FUZZY_TERM, k=20,
+            max_edits=_FUZZY_EDITS, max_expansions=_FUZZY_EXPANSIONS,
+        ),
+        "fuzzy_search_store": _fz().fuzzy_oracle_sql(
+            _FUZZY_TERM, k=20,
+            max_edits=_FUZZY_EDITS, max_expansions=_FUZZY_EXPANSIONS,
         ),
         "postings_roundtrip": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents),
@@ -799,6 +888,12 @@ def _pfx():
     from engine import prefix
 
     return prefix
+
+
+def _fz():
+    from engine import fuzzy
+
+    return fuzzy
 
 
 def _ts():

@@ -37,6 +37,8 @@ def main() -> None:
         "bm25_topk_indexed",
         "phrase_freqs", "bm25_phrase_topk", "bm25_phrase_store",
         "prefix_match", "prefix_search_store",
+        "bm25_topk_bool", "bm25_topk_bool_store",
+        "fuzzy_match", "fuzzy_search_store",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",

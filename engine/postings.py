@@ -572,6 +572,28 @@ def term_stats(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
 
 
+def decode_postings_doc_ids(postings: DataFrame, codec: str = "varint") -> DataFrame:
+    """Block rows -> DISTINCT (doc_id) — doc-ids-only decode: the tf/dl
+    streams are never touched. The cheap side for non-scoring membership
+    operators (prefix expansion, bool must_not exclusion), where decoding
+    frequencies would be wasted work."""
+    from engine.codecs import decode_doc_ids_batch
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ns = b["n"].to_numpy().astype(np.int64)
+            ids = decode_doc_ids_batch(list(b["doc_bytes"]), ns, codec=codec)
+            yield pd.DataFrame({"doc_id": ids})
+
+    return (
+        postings.select("n", "doc_bytes")
+        .mapInPandas(dec, schema="doc_id long")
+        .distinct()
+    )
+
+
 def decode_postings(
     postings: DataFrame, keep_cols: tuple[str, ...] = (), codec: str = "varint"
 ) -> DataFrame:

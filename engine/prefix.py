@@ -18,10 +18,6 @@ Scale shape (the 100 TB lens):
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,23 +63,11 @@ def search_store_prefix(
     posting blocks are found via the pushed StringStartsWith scan filter and
     decoded doc-ids-only; superseded docs are excluded via the live-docs
     join (search_store semantics)."""
-    from engine.codecs import decode_doc_ids_batch
     from engine.merge import live_doc_ids
+    from engine.postings import decode_postings_doc_ids
 
-    codec = store.codec
     blocks = store.postings(spark).where(F.col("term").startswith(prefix))
-
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if not len(b):
-                continue
-            ns = b["n"].to_numpy().astype(np.int64)
-            ids = decode_doc_ids_batch(list(b["doc_bytes"]), ns, codec=codec)
-            yield pd.DataFrame({"doc_id": ids})
-
-    matched = blocks.select("n", "doc_bytes").mapInPandas(
-        dec, schema="doc_id long"
-    ).distinct()
+    matched = decode_postings_doc_ids(blocks, codec=store.codec)
     if len(store.live_segments()) > 1:
         matched = matched.join(
             live_doc_ids(store.docs(spark)).select("doc_id"), "doc_id"

@@ -84,12 +84,23 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     conjunctive: bool = False,
+    min_should_match: int | None = None,
+    must_not_terms: list[str] | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over a raw document table (no prebuilt index).
 
     Returns (doc_id, score) with score rounded to SCORE_DECIMALS; top-k by
     (score desc, doc_id asc). Disjunctive by default; conjunctive=True keeps
     only docs matching ALL query terms (D8).
+
+    ES `bool` query semantics (SURVEY.md §2.5 D14):
+    - `min_should_match`: a doc must match at least this many DISTINCT
+      query terms (ES minimum_should_match over should-clauses; counts
+      distinct terms since the query term set is deduped). conjunctive is
+      the min_should_match == len(terms) special case.
+    - `must_not_terms`: docs containing ANY of these terms are excluded.
+      Non-scoring, exactly ES filter context: df/avgdl/n_docs and the
+      positive terms' score contributions are unaffected by the exclusion.
     """
     q_terms = sorted(set(query_terms))
     q = spark.createDataFrame([(t,) for t in q_terms], "term string")
@@ -126,8 +137,22 @@ def bm25_topk(
         F.sum(contrib).alias("raw_score"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
-    if conjunctive:
-        per_doc = per_doc.where(F.col("n_terms_matched") == F.lit(len(q_terms)))
+    msm = len(q_terms) if conjunctive else min_should_match
+    if msm:
+        per_doc = per_doc.where(F.col("n_terms_matched") >= F.lit(int(msm)))
+    if must_not_terms:
+        negq = spark.createDataFrame(
+            [(t,) for t in sorted(set(must_not_terms))], "term string"
+        )
+        # same pre-shuffle broadcast-semi-filter shape as the positive
+        # terms: only must_not occurrences move, distinct'd to doc ids
+        neg_docs = (
+            corpus_tokens(docs, id_col, text_col)
+            .join(F.broadcast(negq), "term")
+            .select("doc_id")
+            .distinct()
+        )
+        per_doc = per_doc.join(neg_docs, "doc_id", "left_anti")
 
     return (
         per_doc.select(
@@ -149,8 +174,16 @@ def bm25_topk_from_index(
     live_docs: DataFrame | None = None,
     excluded_doc_ids=None,
     codec: str = "varint",
+    min_should_match: int | None = None,
+    must_not_terms: list[str] | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over a prebuilt block-postings index.
+
+    `min_should_match` / `must_not_terms`: ES bool semantics (see
+    bm25_topk). must_not doc ids come from the excluded terms' posting
+    blocks via the doc-ids-only decode (tf/dl streams untouched), pushed
+    isin scan filter, then a distributed anti-join — non-scoring, so
+    df/stats are unaffected.
 
     `postings`: POSTINGS_SCHEMA block rows (engine.postings); doc lengths
     travel inside the blocks (dl_bytes), so scoring needs NO doc-table join.
@@ -197,8 +230,18 @@ def bm25_topk_from_index(
         F.sum(idf * (F.col("tf") / denom)).alias("raw_score"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
-    if conjunctive:
-        per_doc = per_doc.where(F.col("n_terms_matched") == F.lit(len(q_terms)))
+    msm = len(q_terms) if conjunctive else min_should_match
+    if msm:
+        per_doc = per_doc.where(F.col("n_terms_matched") >= F.lit(int(msm)))
+    if must_not_terms:
+        from engine.postings import decode_postings_doc_ids
+
+        neg_blocks = postings.where(
+            F.col("term").isin(sorted(set(must_not_terms)))
+        )
+        per_doc = per_doc.join(
+            decode_postings_doc_ids(neg_blocks, codec=codec), "doc_id", "left_anti"
+        )
     return (
         per_doc.select(
             "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
@@ -219,6 +262,8 @@ def search_store(
     routing_key=None,
     num_shards: int | None = None,
     routing_key_dtype: str | None = None,
+    min_should_match: int | None = None,
+    must_not_terms: list[str] | None = None,
 ) -> DataFrame:
     """BM25 top-k over a persisted multi-segment index (engine.segments).
 
@@ -275,6 +320,8 @@ def search_store(
         conjunctive=conjunctive,
         live_docs=live,
         codec=store.codec,
+        min_should_match=min_should_match,
+        must_not_terms=must_not_terms,
     )
 
 
@@ -407,14 +454,21 @@ class IndexReader:
                 setattr(self, attr, None)
 
     def search(
-        self, query_terms: list[str], k: int = 10, conjunctive: bool = False
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        conjunctive: bool = False,
+        min_should_match: int | None = None,
+        must_not_terms: list[str] | None = None,
     ) -> DataFrame:
         """Exact BM25 top-k from the cached index.
 
         Superseded docs are excluded via the bounded driver-side set (a
         NOT IN literal, same as the WAND path) — NOT a per-query window
         over the whole docs table; the distributed live-docs join only
-        appears when the set overflowed, and then from a cache built once."""
+        appears when the set overflowed, and then from a cache built once.
+        `min_should_match` / `must_not_terms`: ES bool semantics (see
+        bm25_topk); the must_not blocks come from the CACHED postings."""
         return bm25_topk_from_index(
             self.postings,
             self.stats["n_docs"],
@@ -426,6 +480,8 @@ class IndexReader:
             live_docs=self._live_docs_df(),
             excluded_doc_ids=None if self._deleted_overflow else self.deleted,
             codec=self._codec,
+            min_should_match=min_should_match,
+            must_not_terms=must_not_terms,
         )
 
     def _live_docs_df(self):
@@ -491,6 +547,31 @@ class IndexReader:
             stats_out=stats_out,
         )
 
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """Fuzzy BM25 top-k from the held-open reader: the Levenshtein
+        expansion scans the CACHED term-stats relation (the term
+        dictionary — no parquet re-read), then the expanded disjunction
+        runs through self.search on the cached postings."""
+        from engine.fuzzy import MAX_EXPANSIONS, fuzzy_expansions
+
+        terms = fuzzy_expansions(
+            self._term_stats.select("term"),
+            term,
+            max_edits=max_edits,
+            prefix_length=prefix_length,
+            max_expansions=MAX_EXPANSIONS if max_expansions is None else max_expansions,
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k)
+
     def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:
         """ES match_phrase from the held-open reader (query-server mode).
 
@@ -549,14 +630,25 @@ def bm25_topk_oracle_sql(
     text_col: str = "text",
     conjunctive: bool = False,
     doc_filter: str | None = None,
+    min_should_match: int | None = None,
+    must_not_terms: list[str] | None = None,
 ) -> str:
     """`doc_filter`: SQL predicate over doc_id restricting which docs may
     appear in results WITHOUT changing df/avgdl/n_docs (the filtered-alias
-    search semantics: a non-scoring filter)."""
+    search semantics: a non-scoring filter). `min_should_match` /
+    `must_not_terms`: the bool-query oracle (same semantics as bm25_topk)."""
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
     n_terms = len(set(query_terms))
-    having = f"HAVING count(*) = {n_terms}" if conjunctive else ""
-    where_docs = f"WHERE {doc_filter}" if doc_filter else ""
+    msm = n_terms if conjunctive else min_should_match
+    having = f"HAVING count(*) >= {int(msm)}" if msm else ""
+    conds = [doc_filter] if doc_filter else []
+    if must_not_terms:
+        neg_in = ", ".join(f"'{t}'" for t in sorted(set(must_not_terms)))
+        conds.append(
+            "tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term IN ({neg_in}))"
+        )
+    where_docs = f"WHERE {' AND '.join(conds)}" if conds else ""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,

@@ -32,6 +32,25 @@ def main() -> None:
     ap.add_argument("--prefix", action="append", default=None,
                     help="constant-score prefix query (ES `prefix`); "
                          "repeatable")
+    ap.add_argument("--fuzzy", action="append", default=None,
+                    help="fuzzy term query (ES `fuzzy`): Levenshtein "
+                         "expansion against the term dictionary, scored as "
+                         "a BM25 disjunction; repeatable")
+    ap.add_argument("--max-edits", type=int, default=1,
+                    help="fuzzy edit-distance budget (ES fuzziness)")
+    ap.add_argument("--max-expansions", type=int, default=50,
+                    help="fuzzy expansion cap, kept by (distance, term)")
+    ap.add_argument("--fuzzy-prefix-length", type=int, default=0,
+                    help="leading chars that must match exactly (ES "
+                         "prefix_length)")
+    ap.add_argument("--must-not", default=None,
+                    help="space-separated must_not terms (ES bool filter "
+                         "context): docs containing ANY are excluded, "
+                         "non-scoring; applies to every --query")
+    ap.add_argument("--min-should-match", type=int, default=None,
+                    help="minimum distinct query terms a doc must match "
+                         "(ES minimum_should_match); applies to every "
+                         "--query")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--executor", default="wand",
                     choices=["exact", "wand", "auto"],
@@ -60,10 +79,13 @@ def main() -> None:
                          "reference's addAliasWithRoutingToExistingIndex")
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
-    if not (args.query or args.phrase or args.prefix):
-        ap.error("need at least one of --query / --phrase / --prefix")
-    if (args.phrase or args.prefix) and (args.routing or args.alias):
-        ap.error("--phrase/--prefix do not take --routing/--alias")
+    if not (args.query or args.phrase or args.prefix or args.fuzzy):
+        ap.error("need at least one of --query / --phrase / --prefix / --fuzzy")
+    if (args.phrase or args.prefix or args.fuzzy) and (args.routing or args.alias):
+        ap.error("--phrase/--prefix/--fuzzy do not take --routing/--alias")
+    bool_opts = args.must_not is not None or args.min_should_match is not None
+    if bool_opts and args.alias:
+        ap.error("--must-not/--min-should-match do not take --alias")
 
     from engine.query import IndexReader, search_store, search_via_alias
     from engine.segments import IndexStore
@@ -118,6 +140,25 @@ def main() -> None:
             "results": [(r["doc_id"], r["score"]) for r in rows],
         }))
 
+    for fz in args.fuzzy or []:
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = reader.search_fuzzy(
+                fz, k=args.k, max_edits=args.max_edits,
+                prefix_length=args.fuzzy_prefix_length,
+                max_expansions=args.max_expansions,
+            ).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "fuzzy": fz,
+            "max_edits": args.max_edits,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    must_not = args.must_not.split() if args.must_not else None
     for q in args.query or []:
         terms = q.split()
         lats = []
@@ -133,6 +174,16 @@ def main() -> None:
                 rows = search_store(
                     spark, store, terms, k=args.k,
                     conjunctive=args.conjunctive, routing=args.routing,
+                    min_should_match=args.min_should_match,
+                    must_not_terms=must_not,
+                ).collect()
+            elif bool_opts:
+                # bool-query filters run the exact path (WAND's block-max
+                # skipping has no must_not/msm awareness)
+                rows = reader.search(
+                    terms, k=args.k, conjunctive=args.conjunctive,
+                    min_should_match=args.min_should_match,
+                    must_not_terms=must_not,
                 ).collect()
             elif args.executor in ("wand", "auto"):
                 strategy = "auto" if args.executor == "auto" else "wand"

@@ -101,6 +101,28 @@ def main() -> None:
         "prefix_search_store": (
             [r"PushedFilters: \[.*StartsWith\(term"], []
         ),
+        # bool query (D14): must_not is an anti-join of doc-ids-only
+        # decoded excluded blocks — never a CartesianProduct; the one
+        # BroadcastNestedLoopJoin Cross in this plan is the single-row
+        # stats broadcast (same as bm25_topk — correct and idiomatic)
+        "bm25_topk_bool": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        "bm25_topk_bool_store": (
+            [r"PushedFilters: \[.*[Ii]n\(term", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        # fuzzy (D15): the expansion happened driver-side over the term
+        # dictionary; the RESULT plan is a normal bounded disjunction —
+        # pushed isin on the store path, broadcast semi-filter + top-k on
+        # the corpus path
+        "fuzzy_match": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"], []
+        ),
+        "fuzzy_search_store": (
+            [r"PushedFilters: \[.*[Ii]n\(term", r"TakeOrderedAndProject"], []
+        ),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
