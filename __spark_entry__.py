@@ -233,6 +233,34 @@ def _q_bm25_topk_bool_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES wildcard query (D16): constant-score; "s?a*" matches the vocabulary
+# terms scan / small / spark (one fixed char after the leading s).
+_WILDCARD = "s?a*"
+
+
+def _q_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.wildcard import wildcard_match
+
+    return wildcard_match(spark, _docs(spark, sf_dir), _WILDCARD, k=25)
+
+
+def _q_wildcard_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query answered from the persisted index: the pattern's
+    leading literal pushes StringStartsWith into the posting-block scan,
+    the LIKE filter picks matching terms' blocks, decoded doc-ids-only."""
+    from engine.wildcard import search_store_wildcard
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store_wildcard(spark, store, _WILDCARD, k=None)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 # ES fuzzy query (D15): "part" within 2 edits expands against the corpus
 # vocabulary to {part, fast, sort, spark}; max_expansions=3 exercises the
 # deterministic (distance ASC, term ASC) truncation -> {part, fast, sort}.
@@ -669,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bool_store": _q_bm25_topk_bool_store,
         "fuzzy_match": _q_fuzzy_match,
         "fuzzy_search_store": _q_fuzzy_search_store,
+        "wildcard_match": _q_wildcard_match,
+        "wildcard_search_store": _q_wildcard_search_store,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
         "upsert_last_wins": _q_upsert_last_wins,
@@ -743,6 +773,8 @@ def oracle_sql() -> dict[str, str]:
             _FUZZY_TERM, k=20,
             max_edits=_FUZZY_EDITS, max_expansions=_FUZZY_EXPANSIONS,
         ),
+        "wildcard_match": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
+        "wildcard_search_store": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
         "postings_roundtrip": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents),
             tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -894,6 +926,12 @@ def _fz():
     from engine import fuzzy
 
     return fuzzy
+
+
+def _wc():
+    from engine import wildcard
+
+    return wildcard
 
 
 def _ts():

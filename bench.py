@@ -39,6 +39,7 @@ def main() -> None:
         "prefix_match", "prefix_search_store",
         "bm25_topk_bool", "bm25_topk_bool_store",
         "fuzzy_match", "fuzzy_search_store",
+        "wildcard_match", "wildcard_search_store",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",

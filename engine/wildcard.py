@@ -1,0 +1,139 @@
+"""Wildcard term queries (ES `wildcard`): constant-score multi-term
+expansion over `*` (any sequence) / `?` (one char) patterns.
+
+Elasticsearch 5.5 (the engine the reference delegates every query to,
+/root/reference/build.gradle:42) rewrites a `wildcard` query with the same
+Lucene CONSTANT_SCORE MultiTermQuery rewrite as `prefix`: every document
+containing ANY term matching the pattern scores boost (1.0), no tf/idf;
+ties break by doc id. This module completes the term-level query family
+(term / bool / prefix / fuzzy / wildcard / match_phrase) with the same
+deterministic (score desc, doc_id asc) contract.
+
+Pattern translation: `*` -> SQL LIKE `%`, `?` -> `_`, with literal
+`%`/`_`/`\\` in the user pattern escaped — Spark's `like` and DuckDB's
+`LIKE` share these exact semantics, so the oracle reproduces the match
+bit-identically.
+
+Scale shape (the 100 TB lens):
+- Corpus path: the LIKE filter runs JVM-side (whole-stage codegen) on the
+  exploded token stream BEFORE the distinct's shuffle.
+- Store path: LIKE itself cannot reach a parquet scan, but the pattern's
+  LEADING LITERAL (chars before the first wildcard) can: a pattern like
+  `sp*k` also pushes StringStartsWith(term, 'sp') for row-group skipping
+  on the term-sorted posting files (ES users are told the same thing —
+  avoid leading-wildcard patterns; `*abc` degrades to a dictionary scan
+  there exactly as in Lucene). Matching blocks decode doc-ids-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.config import TOKEN_PATTERN
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """ES wildcard pattern -> SQL LIKE pattern (escape literal %/_/\\)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def leading_literal(pattern: str) -> str:
+    """Chars before the first wildcard — the pushdown-able prefix."""
+    for i, ch in enumerate(pattern):
+        if ch in ("*", "?"):
+            return pattern[:i]
+    return pattern
+
+
+def wildcard_match(
+    spark: SparkSession,
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Constant-score wildcard query over a raw document table.
+
+    Returns (doc_id, score=1.0), first k matching docs by doc_id asc."""
+    like = wildcard_to_like(pattern.lower())
+    matched = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term").like(like))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        matched.select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_store_wildcard(
+    spark: SparkSession,
+    store,
+    pattern: str,
+    k: int | None = 10,
+) -> DataFrame:
+    """Constant-score wildcard query over a persisted store: the pattern's
+    leading literal pushes StringStartsWith into the posting-block scan
+    (row-group skipping on term-sorted files); the full LIKE filter then
+    selects matching terms' blocks, decoded doc-ids-only. Superseded docs
+    are excluded via the live-docs join (search_store semantics)."""
+    from engine.merge import live_doc_ids
+    from engine.postings import decode_postings_doc_ids
+
+    p = pattern.lower()
+    blocks = store.postings(spark)
+    lead = leading_literal(p)
+    if lead:
+        blocks = blocks.where(F.col("term").startswith(lead))
+    blocks = blocks.where(F.col("term").like(wildcard_to_like(p)))
+    matched = decode_postings_doc_ids(blocks, codec=store.codec)
+    if len(store.live_segments()) > 1:
+        matched = matched.join(
+            live_doc_ids(store.docs(spark)).select("doc_id"), "doc_id"
+        )
+    scored = matched.select("doc_id", F.lit(1.0).alias("score"))
+    if k is None:
+        # all matches, unordered — for callers that re-rank after a doc-id
+        # remap (same contract as search_store_prefix)
+        return scored
+    return scored.orderBy(F.col("doc_id").asc()).limit(k)
+
+
+def wildcard_oracle_sql(
+    pattern: str,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    like = wildcard_to_like(pattern.lower()).replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+)
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM toks WHERE term LIKE '{like}' ESCAPE '\\'
+ORDER BY doc_id ASC
+LIMIT {k}
+"""

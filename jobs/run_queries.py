@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--prefix", action="append", default=None,
                     help="constant-score prefix query (ES `prefix`); "
                          "repeatable")
+    ap.add_argument("--wildcard", action="append", default=None,
+                    help="constant-score wildcard query (ES `wildcard`: "
+                         "* = any sequence, ? = one char); repeatable")
     ap.add_argument("--fuzzy", action="append", default=None,
                     help="fuzzy term query (ES `fuzzy`): Levenshtein "
                          "expansion against the term dictionary, scored as "
@@ -79,10 +82,14 @@ def main() -> None:
                          "reference's addAliasWithRoutingToExistingIndex")
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
-    if not (args.query or args.phrase or args.prefix or args.fuzzy):
-        ap.error("need at least one of --query / --phrase / --prefix / --fuzzy")
-    if (args.phrase or args.prefix or args.fuzzy) and (args.routing or args.alias):
-        ap.error("--phrase/--prefix/--fuzzy do not take --routing/--alias")
+    if not (args.query or args.phrase or args.prefix or args.fuzzy
+            or args.wildcard):
+        ap.error("need at least one of --query / --phrase / --prefix / "
+                 "--fuzzy / --wildcard")
+    if (args.phrase or args.prefix or args.fuzzy or args.wildcard) and (
+            args.routing or args.alias):
+        ap.error("--phrase/--prefix/--fuzzy/--wildcard do not take "
+                 "--routing/--alias")
     bool_opts = args.must_not is not None or args.min_should_match is not None
     if bool_opts and args.alias:
         ap.error("--must-not/--min-should-match do not take --alias")
@@ -153,6 +160,21 @@ def main() -> None:
         print(json.dumps({
             "fuzzy": fz,
             "max_edits": args.max_edits,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    for wc in args.wildcard or []:
+        from engine.wildcard import search_store_wildcard
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = search_store_wildcard(spark, store, wc, k=args.k).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "wildcard": wc,
             "k": args.k,
             "latency_ms_p50": round(statistics.median(lats), 1),
             "results": [(r["doc_id"], r["score"]) for r in rows],

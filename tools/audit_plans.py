@@ -123,6 +123,12 @@ def main() -> None:
         "fuzzy_search_store": (
             [r"PushedFilters: \[.*[Ii]n\(term", r"TakeOrderedAndProject"], []
         ),
+        # wildcard (D16), store path: the pattern's leading literal pushes
+        # StringStartsWith for row-group skipping; the LIKE filter picks
+        # matching terms' blocks (decoded doc-ids-only)
+        "wildcard_search_store": (
+            [r"PushedFilters: \[.*StartsWith\(term"], []
+        ),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
