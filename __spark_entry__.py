@@ -647,6 +647,101 @@ def _q_frame_sample(spark, sf_dir):
     return frame_sample(synthetic_media(spark, 64), every_ms=500).drop("frame")
 
 
+_SORT_AFTER = (306, 100)  # (n_chars, doc_id) cursor — mid-corpus page
+_MGET_IDS = [3, 17, 42, 99, 123]
+
+
+def _q_terms_agg(spark, sf_dir):
+    """ES `terms` aggregation (top-N buckets by doc_count, avg sub-agg):
+    one hash-aggregate shuffle keyed by lang, TakeOrderedAndProject top-N."""
+    from engine.aggs import terms_agg
+
+    return terms_agg(_docs(spark, sf_dir), "lang", size=10, metric_col="n_chars")
+
+
+def _q_date_histogram(spark, sf_dir):
+    """ES `date_histogram` (calendar day) with a sum sub-agg over events."""
+    from engine.aggs import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram(ev, "ts", interval="day", value_col="value")
+
+
+def _q_stats_agg(spark, sf_dir):
+    """ES search with `query` + `stats` agg: doc-length stats over ALL hits
+    of a disjunctive match query (size:0 search semantics — the agg visits
+    every hit, not a top-k page)."""
+    from engine.aggs import stats_agg
+
+    return stats_agg(_docs(spark, sf_dir), FLAGSHIP_TERMS)
+
+
+def _q_cardinality_agg(spark, sf_dir):
+    """ES `cardinality` agg, exact tier (count DISTINCT user per event
+    type). The HLL++ scale path is cardinality_approx (pytest-checked
+    rel-error vs this exact tier; ES's own cardinality agg is approximate)."""
+    from engine.aggs import cardinality_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cardinality_agg(ev, "event_type", "user_id")
+
+
+def _q_shard_doc_stats(spark, sf_dir):
+    """ES `_stats`/`_cat/shards` shape: per-routing doc counts + total doc
+    length folded from segment METADATA (routing_stats in stats.json) —
+    zero parquet data files opened, O(live segments) driver work."""
+    from engine.aggs import routing_doc_counts
+
+    return routing_doc_counts(spark, _shared_store(spark, sf_dir))
+
+
+def _q_sort_search_after(spark, sf_dir):
+    """ES sorted search + search_after cursor pagination: the cursor is a
+    pushed range predicate (page N+1's scan skips page N's rows at the
+    parquet level), top-k via TakeOrderedAndProject."""
+    from engine.searchapi import sort_search_after
+
+    return sort_search_after(
+        _docs(spark, sf_dir), "n_chars", after=_SORT_AFTER, k=20
+    )
+
+
+def _q_mget_store(spark, sf_dir):
+    """ES `_mget` point lookup on the persisted index's doc table: pushed
+    In(url, ...) filter -> row-group skipping; newest live version per url."""
+    from engine.searchapi import mget_store
+
+    store = _shared_store(spark, sf_dir)
+    urls = ["doc://%012d" % i for i in _MGET_IDS]
+    out = mget_store(spark, store, urls)
+    return out.select(
+        "url",
+        F.substring("url", 7, 12).cast("long").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+
+
+def _q_count_query_store(spark, sf_dir):
+    """ES `_count` served from the index: pushed IN(term) block filter,
+    ids-only posting decode (tf/dl streams untouched), distinct count."""
+    from engine.searchapi import count_query_store
+
+    store = _shared_store(spark, sf_dir)
+    return count_query_store(spark, store, FLAGSHIP_TERMS)
+
+
+def _q_highlight(spark, sf_dir):
+    """ES highlight: <em>-marked fragment around the first query-term
+    occurrence for each BM25 top-k hit — pure JVM string expressions over
+    the bounded top-k page."""
+    from engine.searchapi import highlight_snippets
+
+    docs = _docs(spark, sf_dir)
+    hits = bm25_topk(spark, docs, FLAGSHIP_TERMS, k=20).select("doc_id")
+    page = hits.join(docs.select("doc_id", "text"), "doc_id")
+    return highlight_snippets(page, FLAGSHIP_TERMS)
+
+
 def _q_filtered_alias(spark, sf_dir):
     """Filtered alias (S11) — the reference's only literal query operator:
     a view restricted by termQuery(field, value)
@@ -716,6 +811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "terms_agg": _q_terms_agg,
+        "date_histogram_agg": _q_date_histogram,
+        "stats_agg": _q_stats_agg,
+        "cardinality_agg": _q_cardinality_agg,
+        "shard_doc_stats": _q_shard_doc_stats,
+        "sort_search_after": _q_sort_search_after,
+        "mget_store": _q_mget_store,
+        "count_query_store": _q_count_query_store,
+        "highlight_snippets": _q_highlight,
         "filtered_alias_view": _q_filtered_alias,
         "offset_ledger": _q_offset_ledger,
         "routed_search": _q_routed_search,
@@ -822,6 +926,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
+        "terms_agg": _ag().terms_agg_oracle_sql("lang", size=10, metric_col="n_chars"),
+        "date_histogram_agg": _ag().date_histogram_oracle_sql(
+            "ts", interval="day", value_col="value"
+        ),
+        "stats_agg": _ag().stats_agg_oracle_sql(FLAGSHIP_TERMS),
+        "cardinality_agg": _ag().cardinality_agg_oracle_sql("event_type", "user_id"),
+        # metadata-served per-routing stats must equal the full data scan
+        "shard_doc_stats": _ag().routing_doc_counts_oracle_sql("lang"),
+        "sort_search_after": _sa().sort_search_after_oracle_sql(
+            "n_chars", after=_SORT_AFTER, k=20
+        ),
+        "mget_store": f"""
+            SELECT printf('doc://%012d', doc_id) AS url, doc_id,
+                   CAST({_DLEN} AS BIGINT) AS doc_len
+            FROM documents
+            WHERE doc_id IN ({", ".join(str(i) for i in _MGET_IDS)})
+            ORDER BY url
+        """,
+        "count_query_store": _sa().count_query_oracle_sql(FLAGSHIP_TERMS),
+        "highlight_snippets": _sa().highlight_oracle_sql(
+            FLAGSHIP_TERMS,
+            hits_cte=(
+                "SELECT h.doc_id, d.text FROM ("
+                + bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20)
+                + ") h JOIN documents d USING (doc_id)"
+            ),
+        ),
         "filtered_alias_view": f"SELECT doc_id, lang, {_DLEN} AS doc_len FROM documents WHERE lang = 'en'",
         "routed_search": bm25_topk_oracle_sql(
             FLAGSHIP_TERMS, k=20,
@@ -932,6 +1063,18 @@ def _wc():
     from engine import wildcard
 
     return wildcard
+
+
+def _ag():
+    from engine import aggs
+
+    return aggs
+
+
+def _sa():
+    from engine import searchapi
+
+    return searchapi
 
 
 def _ts():

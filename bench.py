@@ -42,6 +42,9 @@ def main() -> None:
         "wildcard_match", "wildcard_search_store",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
+        "terms_agg", "date_histogram_agg", "stats_agg", "cardinality_agg",
+        "shard_doc_stats", "sort_search_after", "mget_store",
+        "count_query_store", "highlight_snippets",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
         "routed_search", "alias_routed_search", "multi_index_fanout",
         "resize_plan", "image_features", "frame_sample",

@@ -1,0 +1,277 @@
+"""ES 5.5 search aggregations, re-expressed as single-shuffle Spark plans.
+
+The reference delegates all querying to Elasticsearch: it posts each raw
+message as the document `_source` (ElasticSearchBatchService.java:60) and
+any consumer of those indexes pairs a `query` with `aggs` in the ES search
+API. This module implements the core ES 5.5 aggregation families natively:
+
+  - `terms` aggregation   -> terms_agg        (top-N buckets by doc_count)
+  - `date_histogram`      -> date_histogram   (calendar-interval buckets)
+  - `stats`               -> stats_agg        (count/min/max/avg/sum over
+                                               ALL query hits, not top-k)
+  - `cardinality`         -> cardinality_agg  (exact tier) and
+                             cardinality_approx (HLL++ scale path — ES's
+                             own cardinality agg is approximate HLL too)
+  - per-shard doc stats   -> routing_doc_counts (metadata-served: folds the
+                             segments' persisted routing_stats, ZERO data
+                             scan — the ES `_stats`/`_cat/shards` shape)
+
+100 TB shape: every aggregation here is one hash-aggregate with map-side
+partial combine — the only shuffle moves (bucket_key, partial_agg) rows,
+never documents. Bucket counts are bounded by field cardinality, so the
+final stage is trivially small. `terms_agg`'s top-N is a
+TakeOrderedAndProject over the aggregated buckets (no global sort).
+For a truly high-cardinality terms field at 10^12 docs, ES itself goes
+approximate (shard_size); the exact groupBy here remains correct — it just
+shuffles |distinct keys| rows — and `cardinality_approx` is the documented
+approximate path.
+
+Every function has a matching *_oracle_sql builder (same expressions in
+DuckDB SQL) so the driver's rows+schema+value-hash check is strong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analysis import tokens
+from engine.config import SCORE_DECIMALS, TOKEN_PATTERN
+
+_DUCK_TOKS = "regexp_extract_all(lower(coalesce({col}, '')), '{pat}')"
+
+
+# ---------------------------------------------------------------------------
+# terms aggregation (ES `terms`)
+# ---------------------------------------------------------------------------
+
+
+def terms_agg(
+    df: DataFrame, field: str, size: int = 10, metric_col: str | None = None
+) -> DataFrame:
+    """ES `terms` aggregation: top-`size` buckets of `field` ordered by
+    doc_count desc (key asc tie-break — ES's `_count` then `_term` order),
+    optionally with an `avg` sub-aggregation on `metric_col`.
+
+    Plan: partial+final HashAggregate (one shuffle on the bucket key) ->
+    TakeOrderedAndProject(size). Nothing but (key, count, sum) crosses the
+    wire.
+    """
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if metric_col is not None:
+        aggs.append(
+            F.round(F.avg(metric_col), SCORE_DECIMALS).alias(f"avg_{metric_col}")
+        )
+    return (
+        df.groupBy(F.col(field).alias("key"))
+        .agg(*aggs)
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
+def terms_agg_oracle_sql(
+    field: str, size: int = 10, metric_col: str | None = None,
+    table: str = "documents",
+) -> str:
+    metric = (
+        f", round(avg({metric_col}), {SCORE_DECIMALS}) AS avg_{metric_col}"
+        if metric_col
+        else ""
+    )
+    return f"""
+        SELECT {field} AS key, count(*) AS doc_count{metric}
+        FROM {table}
+        GROUP BY 1
+        ORDER BY doc_count DESC, key ASC
+        LIMIT {size}
+    """
+
+
+# ---------------------------------------------------------------------------
+# date_histogram aggregation (ES `date_histogram`, calendar interval)
+# ---------------------------------------------------------------------------
+
+
+def date_histogram(
+    df: DataFrame, ts_col: str, interval: str = "day",
+    value_col: str | None = None,
+) -> DataFrame:
+    """ES `date_histogram` with a calendar interval (`day`/`month`/...):
+    one bucket per truncated timestamp, doc_count plus an optional `sum`
+    sub-aggregation. The bucket key is emitted as a 'yyyy-MM-dd' string so
+    the oracle comparison is date-library-free.
+
+    Plan: one hash-aggregate shuffle keyed by the truncated date — bucket
+    count is bounded by the time span, independent of corpus size.
+    """
+    bucket = F.date_format(F.date_trunc(interval.upper(), F.col(ts_col)), "yyyy-MM-dd")
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.sum(value_col), SCORE_DECIMALS).alias(f"sum_{value_col}")
+        )
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(*aggs)
+        .orderBy("bucket")
+    )
+
+
+def date_histogram_oracle_sql(
+    ts_col: str, interval: str = "day", value_col: str | None = None,
+    table: str = "events",
+) -> str:
+    metric = (
+        f", round(sum({value_col}), {SCORE_DECIMALS}) AS sum_{value_col}"
+        if value_col
+        else ""
+    )
+    return f"""
+        SELECT strftime(date_trunc('{interval}', {ts_col}), '%Y-%m-%d') AS bucket,
+               count(*) AS doc_count{metric}
+        FROM {table}
+        GROUP BY 1
+        ORDER BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# stats aggregation over query hits (ES search: `query` + `aggs: {stats}`)
+# ---------------------------------------------------------------------------
+
+
+def stats_agg(
+    docs: DataFrame, query_terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `stats` aggregation scoped by a match query: count/min/max/avg/sum
+    of doc length over ALL documents matching ANY query term — the agg runs
+    on the full hit set, not the top-k page (exactly ES semantics: `size: 0`
+    searches with aggs still visit every hit).
+
+    The match filter is `arrays_overlap(tokens, query_terms)` — a JVM
+    column expression evaluated doc-local before the single aggregate, so
+    the plan is scan -> filter -> partial agg -> 1-row final agg. No join,
+    no per-doc shuffle.
+    """
+    toks = tokens(text_col)
+    dl = F.size(toks)
+    lits = F.array(*[F.lit(t) for t in query_terms])
+    return (
+        docs.select(dl.alias("dl"), toks.alias("_t"))
+        .where(F.arrays_overlap(F.col("_t"), lits))
+        .agg(
+            F.count(F.lit(1)).alias("hit_count"),
+            F.min("dl").cast("long").alias("min_dl"),
+            F.max("dl").cast("long").alias("max_dl"),
+            F.round(F.avg("dl"), SCORE_DECIMALS).alias("avg_dl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+    )
+
+
+def stats_agg_oracle_sql(
+    query_terms: list[str], table: str = "documents", text_col: str = "text"
+) -> str:
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+        WITH hits AS (
+          SELECT len(t) AS dl
+          FROM (SELECT {toks} AS t FROM {table})
+          WHERE list_has_any(t, [{terms}])
+        )
+        SELECT count(*) AS hit_count,
+               CAST(min(dl) AS BIGINT) AS min_dl,
+               CAST(max(dl) AS BIGINT) AS max_dl,
+               round(avg(dl), {SCORE_DECIMALS}) AS avg_dl,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM hits
+    """
+
+
+# ---------------------------------------------------------------------------
+# cardinality aggregation (ES `cardinality` — HLL-approximate in ES)
+# ---------------------------------------------------------------------------
+
+
+def cardinality_agg(df: DataFrame, group_col: str, field: str) -> DataFrame:
+    """Exact distinct count of `field` per `group_col` bucket — the
+    oracle-checkable tier of ES's `cardinality` agg. Spark plans
+    count(DISTINCT x) as a two-phase partial-distinct aggregate (dedup
+    map-side within (group, x), then count), so the shuffle carries
+    distinct pairs only."""
+    return (
+        df.groupBy(F.col(group_col).alias("key"))
+        .agg(F.countDistinct(field).alias("cardinality"))
+        .orderBy("key")
+    )
+
+
+def cardinality_agg_oracle_sql(
+    group_col: str, field: str, table: str = "events"
+) -> str:
+    return f"""
+        SELECT {group_col} AS key, count(DISTINCT {field}) AS cardinality
+        FROM {table} GROUP BY 1 ORDER BY key
+    """
+
+
+def cardinality_approx(
+    df: DataFrame, group_col: str, field: str, rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB path: HyperLogLog++ (`approx_count_distinct`), the same
+    sketch family ES's cardinality agg uses. Constant memory per bucket,
+    no distinct shuffle — partial sketches merge associatively. Not
+    oracle-hashable (sketch estimates differ across engines by design);
+    the pytest asserts relative error vs the exact tier instead."""
+    return (
+        df.groupBy(F.col(group_col).alias("key"))
+        .agg(F.approx_count_distinct(field, rsd).alias("cardinality_est"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-routing doc counts from segment metadata (ES `_stats` / `_cat/shards`)
+# ---------------------------------------------------------------------------
+
+
+def routing_doc_counts(spark: SparkSession, store) -> DataFrame:
+    """Per-routing-partition doc counts + total doc length served purely
+    from segment METADATA: folds the `routing_stats` each segment commit
+    persists in stats.json (engine/ingest.py, engine/merge.py). No parquet
+    data file is opened — the ES `_stats`-per-shard shape, O(segments)
+    driver work regardless of corpus size.
+
+    Matches the data-scan answer exactly because routed segments are
+    routing-pure and every commit records the per-routing rollup
+    (grand-total row selected via grouping(), ADVICE r04)."""
+    agg: dict[str, dict[str, int]] = {}
+    for seg in store.live_segments():
+        st = store.segment_stats(seg)
+        for rv, s in (st.get("routing_stats") or {}).items():
+            d = agg.setdefault(rv, {"n_docs": 0, "sum_dl": 0})
+            d["n_docs"] += s["n_docs"]
+            d["sum_dl"] += s["sum_dl"]
+    rows = [
+        (rv, int(s["n_docs"]), int(s["sum_dl"]))
+        for rv, s in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows, "routing string, n_docs long, sum_dl long"
+    )
+
+
+def routing_doc_counts_oracle_sql(
+    routing_field: str = "lang", table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    return f"""
+        SELECT {routing_field} AS routing,
+               count(*) AS n_docs,
+               CAST(sum(len({toks})) AS BIGINT) AS sum_dl
+        FROM {table} GROUP BY 1 ORDER BY routing
+    """

@@ -1,0 +1,179 @@
+"""ES aggregations (engine/aggs.py) + search-API surface (engine/searchapi.py).
+
+Each op is checked against a DuckDB run of its own *_oracle_sql builder on
+the same parquet (the driver's gate, locally), plus targeted property
+tests: cardinality_approx rel-error vs the exact tier, search_after page
+disjointness/continuity, and highlight fragment shape.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+TERMS = ["spark", "vector", "merge", "table"]
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _norm(rows):
+    return sorted(tuple(repr(v) for v in r) for r in rows)
+
+
+def test_terms_agg_matches_oracle(spark, docs_small):
+    from engine.aggs import terms_agg, terms_agg_oracle_sql
+
+    got = _rows(terms_agg(docs_small, "lang", size=10, metric_col="n_chars"))
+    want = _duck(SF_SMOKE, terms_agg_oracle_sql("lang", 10, "n_chars"))
+    assert _norm(got) == _norm(want)
+    # ES order contract: doc_count desc, key asc
+    counts = [r[1] for r in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_date_histogram_matches_oracle(spark):
+    from engine.aggs import date_histogram, date_histogram_oracle_sql
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    got = _rows(date_histogram(ev, "ts", "day", "value"))
+    want = _duck(SF_SMOKE, date_histogram_oracle_sql("ts", "day", "value"))
+    assert _norm(got) == _norm(want)
+    assert all(isinstance(r[0], str) and len(r[0]) == 10 for r in got)
+
+
+def test_stats_agg_matches_oracle(spark, docs_small):
+    from engine.aggs import stats_agg, stats_agg_oracle_sql
+
+    got = _rows(stats_agg(docs_small, TERMS))
+    want = _duck(SF_SMOKE, stats_agg_oracle_sql(TERMS))
+    assert _norm(got) == _norm(want)
+    # stats run over ALL hits, not a top-k page
+    n_hits = got[0][0]
+    assert n_hits > 20
+
+
+def test_cardinality_exact_and_approx(spark):
+    from engine.aggs import (
+        cardinality_agg,
+        cardinality_agg_oracle_sql,
+        cardinality_approx,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    got = _rows(cardinality_agg(ev, "event_type", "user_id"))
+    want = _duck(SF_SMOKE, cardinality_agg_oracle_sql("event_type", "user_id"))
+    assert _norm(got) == _norm(want)
+
+    exact = dict(got)
+    est = dict(_rows(cardinality_approx(ev, "event_type", "user_id", rsd=0.05)))
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(3, 0.15 * exact[k]), (k, e, exact[k])
+
+
+def test_shard_doc_stats_metadata_equals_scan(spark, store_small):
+    """Metadata-served per-routing stats == full data-scan answer."""
+    from engine.aggs import routing_doc_counts
+
+    store = store_small
+    got = {r["routing"]: (r["n_docs"], r["sum_dl"])
+           for r in routing_doc_counts(spark, store).collect()}
+    scan = {
+        r["routing"]: (r["n"], r["s"])
+        for r in store.docs(spark)
+        .groupBy("routing")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+        .collect()
+    }
+    assert got == scan and got
+
+
+def test_sort_search_after_pagination(spark, docs_small):
+    """Pages are disjoint, ordered, and concatenate to the global sort."""
+    from engine.searchapi import sort_search_after
+
+    k = 25
+    page1 = _rows(sort_search_after(docs_small, "n_chars", after=None, k=k))
+    cursor = (page1[-1][1], page1[-1][0])  # (n_chars, doc_id) of last hit
+    page2 = _rows(sort_search_after(docs_small, "n_chars", after=cursor, k=k))
+
+    assert len(page1) == k and len(page2) == k
+    assert not {r[0] for r in page1} & {r[0] for r in page2}
+    # concatenation equals the first 2k of a single global sort
+    allrows = _rows(sort_search_after(docs_small, "n_chars", after=None, k=2 * k))
+    assert page1 + page2 == allrows
+
+
+def test_mget_store_point_lookup(spark, store_small):
+    from engine.searchapi import mget_store
+
+    docs = store_small.docs(spark)
+    urls = [r["url"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    got = mget_store(spark, store_small, urls + ["doc://nonexistent"])
+    rows = got.collect()
+    assert sorted(r["url"] for r in rows) == sorted(urls)
+    # pushed lookup: the In filter reaches the parquet scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "url" in plan
+
+
+def test_count_query_store_matches_corpus(spark, store_small, docs_small):
+    from engine.analysis import tokens
+    from engine.searchapi import count_query_store
+
+    want = (
+        docs_small.select(tokens("text").alias("t"))
+        .where(F.arrays_overlap("t", F.array(*[F.lit(t) for t in TERMS])))
+        .count()
+    )
+    got = count_query_store(spark, store_small, TERMS).collect()[0]["n_hits"]
+    assert got == want > 0
+
+
+def test_highlight_fragments(spark, docs_small):
+    from engine.query import bm25_topk
+    from engine.searchapi import highlight_snippets
+
+    hits = bm25_topk(spark, docs_small, TERMS, k=10).select("doc_id")
+    page = hits.join(docs_small.select("doc_id", "text"), "doc_id")
+    frags = {r["doc_id"]: r["fragment"]
+             for r in highlight_snippets(page, TERMS).collect()}
+    assert len(frags) == 10
+    for did, frag in frags.items():
+        assert frag is not None and "<em>" in frag and "</em>" in frag
+        marked = frag.split("<em>")[1].split("</em>")[0]
+        assert marked in TERMS
+
+
+def test_highlight_no_match_is_null(spark):
+    from engine.searchapi import highlight_snippets
+
+    df = spark.createDataFrame(
+        [(1, "nothing relevant here"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["fragment"]
+            for r in highlight_snippets(df, ["zzzmissing"]).collect()}
+    assert rows == {1: None, 2: None}
+
+
+@pytest.fixture(scope="module")
+def store_small(spark):
+    """Small routed store (routing=lang) shared by the store-backed tests."""
+    import __spark_entry__ as mod
+
+    return mod._shared_store(spark, SF_SMOKE)

@@ -129,6 +129,27 @@ def main() -> None:
         "wildcard_search_store": (
             [r"PushedFilters: \[.*StartsWith\(term"], []
         ),
+        # ES aggregations (round 5): one partial+final hash-aggregate pair;
+        # terms_agg's top-N is TakeOrderedAndProject over the buckets
+        "terms_agg": ([r"HashAggregate", r"TakeOrderedAndProject"], []),
+        "date_histogram_agg": ([r"HashAggregate"], []),
+        # stats agg: filter + ONE aggregate, no join, no per-doc shuffle
+        # beyond the single-row final agg exchange
+        "stats_agg": ([r"HashAggregate"], [r"Join"]),
+        "cardinality_agg": ([r"HashAggregate"], [r"Join"]),
+        # search_after: the cursor predicate reaches the parquet scan
+        # (LessThan on the sort column), top-k is TakeOrderedAndProject
+        "sort_search_after": (
+            [r"PushedFilters: \[.*LessThan\(n_chars", r"TakeOrderedAndProject"],
+            [r"Exchange hashpartitioning"],
+        ),
+        # _mget: the url IN list reaches the doc-table scan
+        "mget_store": ([r"PushedFilters: \[.*[Ii]n\(url"], []),
+        # _count: term IN pushed to the posting-block scan; ids-only decode
+        "count_query_store": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        # highlight: string exprs stay in whole-stage codegen over the
+        # bounded top-k page
+        "highlight_snippets": ([r"codegen id", r"TakeOrderedAndProject"], []),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
