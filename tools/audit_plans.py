@@ -147,9 +147,13 @@ def main() -> None:
         "mget_store": ([r"PushedFilters: \[.*[Ii]n\(url"], []),
         # _count: term IN pushed to the posting-block scan; ids-only decode
         "count_query_store": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
-        # highlight: string exprs stay in whole-stage codegen over the
-        # bounded top-k page
-        "highlight_snippets": ([r"codegen id", r"TakeOrderedAndProject"], []),
+        # highlight: the bounded top-k page is the BROADCAST side joined to
+        # the doc text; string exprs are Project-level (codegen ids aren't
+        # printed for unexecuted AQE plans, so they can't be asserted here)
+        "highlight_snippets": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
