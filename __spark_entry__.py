@@ -742,6 +742,51 @@ def _q_highlight(spark, sf_dir):
     return highlight_snippets(page, FLAGSHIP_TERMS)
 
 
+_RANGE = (250, 450)  # n_chars bounds for the bool-filter range clause
+_MLT_DOC = 7  # more_like_this source doc
+
+
+def _q_range_filter_search(spark, sf_dir):
+    """ES bool query with a `range` clause in FILTER context: BM25-scored
+    match, results restricted to n_chars in [250,450] WITHOUT touching
+    scores/df/avgdl (non-scoring filter — left-semi join before top-k)."""
+    docs = _docs(spark, sf_dir)
+    lo, hi = _RANGE
+    allowed = docs.where(F.col("n_chars").between(lo, hi)).select("doc_id")
+    return bm25_topk(spark, docs, FLAGSHIP_TERMS, k=20, filter_docs=allowed)
+
+
+def _q_explain_score(spark, sf_dir):
+    """ES `_explain` for every top-k hit: per-(doc, term) BM25 breakdown
+    (tf, df, idf, contribution) — the explanation tree ES renders."""
+    from engine.searchapi import explain_scores
+
+    return explain_scores(spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, k=10)
+
+
+def _q_significant_terms(spark, sf_dir):
+    """ES `significant_terms` agg (JLH heuristic) over the hits of a match
+    query: two (term, doc-count) aggregates (foreground semi-joined to the
+    hit set, background corpus-wide) + a term-keyed join — documents never
+    cross the shuffle."""
+    from engine.aggs import significant_terms
+
+    return significant_terms(
+        _docs(spark, sf_dir), ["spark", "table"], size=10, min_doc_count=3
+    )
+
+
+def _q_more_like_this(spark, sf_dir):
+    """ES `more_like_this`: top tf*idf terms of the source doc (bounded
+    driver collect, exactly ES's MLT term extraction) -> BM25 disjunction
+    excluding the source doc."""
+    from engine.searchapi import more_like_this
+
+    return more_like_this(
+        spark, _docs(spark, sf_dir), _MLT_DOC, max_query_terms=10, k=20
+    )
+
+
 def _q_filtered_alias(spark, sf_dir):
     """Filtered alias (S11) — the reference's only literal query operator:
     a view restricted by termQuery(field, value)
@@ -811,6 +856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "range_filter_search": _q_range_filter_search,
+        "explain_score": _q_explain_score,
+        "significant_terms_agg": _q_significant_terms,
+        "more_like_this": _q_more_like_this,
         "terms_agg": _q_terms_agg,
         "date_histogram_agg": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -926,6 +975,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
+        "range_filter_search": bm25_topk_oracle_sql(
+            FLAGSHIP_TERMS, k=20,
+            doc_filter=(
+                "tf.doc_id IN (SELECT doc_id FROM documents "
+                f"WHERE n_chars BETWEEN {_RANGE[0]} AND {_RANGE[1]})"
+            ),
+        ),
+        "explain_score": _sa().explain_oracle_sql(FLAGSHIP_TERMS, k=10),
+        "significant_terms_agg": _ag().significant_terms_oracle_sql(
+            ["spark", "table"], size=10, min_doc_count=3
+        ),
+        "more_like_this": _sa().more_like_this_oracle_sql(
+            _MLT_DOC, max_query_terms=10, k=20
+        ),
         "terms_agg": _ag().terms_agg_oracle_sql("lang", size=10, metric_col="n_chars"),
         "date_histogram_agg": _ag().date_histogram_oracle_sql(
             "ts", interval="day", value_col="value"

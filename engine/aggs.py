@@ -234,6 +234,114 @@ def cardinality_approx(
 
 
 # ---------------------------------------------------------------------------
+# significant_terms aggregation (ES `significant_terms`, JLH heuristic)
+# ---------------------------------------------------------------------------
+
+
+def significant_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    size: int = 10,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `significant_terms` over the hits of a match query, scored with
+    ES's default JLH heuristic:
+
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    where fg_rate = docs-containing-term / docs-matching-query (foreground)
+    and bg_rate = docs-containing-term / all-docs (background). Buckets with
+    foreground df < `min_doc_count` are dropped (ES min_doc_count, default
+    3 here); top-`size` by (jlh desc, term asc).
+
+    Plan shape at scale: the token stream is aggregated TWICE (distinct
+    per-doc terms -> per-term doc counts, once for the background corpus,
+    once semi-joined to the foreground hit set), then a term-keyed join of
+    the two bounded (term, count) relations. Documents never cross the
+    shuffle — only (term, count) rows. n_fg/n_bg are scalar counts. This is
+    the same shard-local-count-then-merge shape ES uses.
+
+    All rates derive from integer counts via IEEE division, so the oracle
+    reproduces them bit-identically; jlh is rounded to SCORE_DECIMALS.
+    """
+    per_doc_terms = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .select("doc_id", F.explode("_t").alias("term"))
+        .distinct()
+    )
+    lits = F.array(*[F.lit(t) for t in query_terms])
+    fg_ids = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .where(F.arrays_overlap(F.col("_t"), lits))
+        .select("doc_id")
+    )
+    n_bg = docs.count()
+    n_fg = fg_ids.count()
+    bg = per_doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    fg = (
+        per_doc_terms.join(fg_ids, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .where(F.col("fg_df") >= F.lit(int(min_doc_count)))
+    )
+    fg_rate = F.col("fg_df") / F.lit(float(n_fg))
+    bg_rate = F.col("bg_df") / F.lit(float(n_bg))
+    jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    return (
+        fg.join(bg, "term")
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            F.round(jlh, SCORE_DECIMALS).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(size)
+    )
+
+
+def significant_terms_oracle_sql(
+    query_terms: list[str],
+    size: int = 10,
+    min_doc_count: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+        WITH dterms AS (
+          SELECT DISTINCT {id_col} AS doc_id, unnest({toks}) AS term
+          FROM {table}
+        ), fg_ids AS (
+          SELECT {id_col} AS doc_id FROM {table}
+          WHERE list_has_any({toks}, [{terms}])
+        ), bg AS (
+          SELECT term, count(*) AS bg_df FROM dterms GROUP BY term
+        ), fg AS (
+          SELECT term, count(*) AS fg_df
+          FROM dterms SEMI JOIN fg_ids USING (doc_id)
+          GROUP BY term HAVING count(*) >= {int(min_doc_count)}
+        ), n AS (
+          SELECT (SELECT count(*) FROM fg_ids) AS n_fg,
+                 (SELECT count(*) FROM {table}) AS n_bg
+        )
+        SELECT term,
+               CAST(fg_df AS BIGINT) AS fg_df,
+               CAST(bg_df AS BIGINT) AS bg_df,
+               round( (fg_df / CAST(n_fg AS DOUBLE) - bg_df / CAST(n_bg AS DOUBLE))
+                      * ((fg_df / CAST(n_fg AS DOUBLE)) / (bg_df / CAST(n_bg AS DOUBLE))),
+                      {SCORE_DECIMALS}) AS score
+        FROM fg JOIN bg USING (term) CROSS JOIN n
+        ORDER BY score DESC, term ASC
+        LIMIT {size}
+    """
+
+
+# ---------------------------------------------------------------------------
 # per-routing doc counts from segment metadata (ES `_stats` / `_cat/shards`)
 # ---------------------------------------------------------------------------
 

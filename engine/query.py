@@ -86,6 +86,7 @@ def bm25_topk(
     conjunctive: bool = False,
     min_should_match: int | None = None,
     must_not_terms: list[str] | None = None,
+    filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over a raw document table (no prebuilt index).
 
@@ -101,6 +102,10 @@ def bm25_topk(
     - `must_not_terms`: docs containing ANY of these terms are excluded.
       Non-scoring, exactly ES filter context: df/avgdl/n_docs and the
       positive terms' score contributions are unaffected by the exclusion.
+    - `filter_docs`: a (doc_id) DataFrame restricting which docs may appear
+      in results — ES bool FILTER context (e.g. a `range` clause): scores,
+      df, avgdl, n_docs are computed as if unfiltered; the filter only
+      gates result membership (left-semi join before the top-k).
     """
     q_terms = sorted(set(query_terms))
     q = spark.createDataFrame([(t,) for t in q_terms], "term string")
@@ -153,6 +158,10 @@ def bm25_topk(
             .distinct()
         )
         per_doc = per_doc.join(neg_docs, "doc_id", "left_anti")
+    if filter_docs is not None:
+        per_doc = per_doc.join(
+            filter_docs.select("doc_id"), "doc_id", "left_semi"
+        )
 
     return (
         per_doc.select(

@@ -161,6 +161,235 @@ def count_query_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# _explain: per-term BM25 score breakdown (ES GET /index/_explain)
+# ---------------------------------------------------------------------------
+
+
+def explain_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `_explain` for every top-k hit of a match query: one row per
+    (doc, matched term) with the BM25 components — tf, df, idf and the
+    term's score contribution — exactly the breakdown ES renders as the
+    explanation tree (weight = idf * tf_norm per term, summed).
+
+    Same scale shape as bm25_topk (engine/query.py — the formulas here
+    mirror it expression-for-expression): broadcast-semi-filter the token
+    stream to the query terms before any shuffle, aggregate tf, broadcast
+    df/stats, then keep only rows whose doc is in the top-k (semi join on
+    the k-row top-k relation, broadcast)."""
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+    from engine.query import (
+        bm25_topk,
+        corpus_stats,
+        corpus_tokens,
+        doc_lengths,
+    )
+
+    cfg = DEFAULT_CONFIG
+    q = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    matched = corpus_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
+    tf = matched.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rows = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+    )
+    topk = bm25_topk(spark, docs, query_terms, k=k, id_col=id_col,
+                     text_col=text_col).select("doc_id")
+    return (
+        rows.join(F.broadcast(topk), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(idf, SCORE_DECIMALS).alias("idf"),
+            F.round(idf * (F.col("tf") / denom), SCORE_DECIMALS).alias("contribution"),
+        )
+    )
+
+
+def explain_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+
+    from engine.query import bm25_topk_oracle_sql
+
+    cfg = DEFAULT_CONFIG
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    topk = bm25_topk_oracle_sql(query_terms, k=k, table=table,
+                                id_col=id_col, text_col=text_col)
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+        ), dl AS (
+          SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+        ), q(term) AS (VALUES {terms_values}),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          SEMI JOIN q USING (term) GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+        ), topk AS ({topk})
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(dfreq.df AS BIGINT) AS df,
+               round(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)),
+                     {SCORE_DECIMALS}) AS idf,
+               round(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))),
+                     {SCORE_DECIMALS}) AS contribution
+        FROM tf
+        SEMI JOIN topk ON tf.doc_id = topk.doc_id
+        JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    """
+
+
+# ---------------------------------------------------------------------------
+# more_like_this (ES `more_like_this` query)
+# ---------------------------------------------------------------------------
+
+
+def more_like_this(
+    spark: SparkSession,
+    docs: DataFrame,
+    like_doc_id: int,
+    max_query_terms: int = 10,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `more_like_this`: extract the source doc's `max_query_terms` most
+    interesting terms (ranked by tf*idf, term-asc tie-break — ES's MLT term
+    selection), then run a normal BM25 disjunction over them, excluding the
+    source doc itself.
+
+    The term extraction collects at most `max_query_terms` terms to the
+    driver — a bounded collect, and exactly how ES's MLT works (the
+    coordinating node builds a bool query from the extracted terms). The
+    selection score is rounded to SCORE_DECIMALS before ranking so the
+    oracle's term choice is bit-stable across engines."""
+    from engine.config import SCORE_DECIMALS
+    from engine.query import bm25_topk, corpus_tokens
+
+    toks = corpus_tokens(docs, id_col, text_col)
+    src_tf = (
+        toks.where(F.col("doc_id") == F.lit(like_doc_id))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()
+    # df over the whole corpus, computed only for the source doc's terms
+    # (values identical to full-corpus df for those terms)
+    dfreq = (
+        toks.select("doc_id", "term").distinct()
+        .join(F.broadcast(src_tf.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sel = (
+        src_tf.join(dfreq, "term")
+        .select("term", F.round(F.col("tf") * idf, SCORE_DECIMALS).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("term").asc())
+        .limit(max_query_terms)
+        .collect()
+    )
+    mlt_terms = [r["term"] for r in sel]
+    if not mlt_terms:
+        return bm25_topk(spark, docs, ["__none__"], k=k,
+                         id_col=id_col, text_col=text_col)
+    others = docs.where(F.col(id_col) != F.lit(like_doc_id)).select(
+        F.col(id_col).alias("doc_id")
+    )
+    return bm25_topk(
+        spark, docs, mlt_terms, k=k, id_col=id_col, text_col=text_col,
+        filter_docs=others,
+    )
+
+
+def more_like_this_oracle_sql(
+    like_doc_id: int,
+    max_query_terms: int = 10,
+    k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+
+    cfg = DEFAULT_CONFIG
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+        ), dl AS (
+          SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+        ), q AS (
+          SELECT tf.term
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+          WHERE tf.doc_id = {int(like_doc_id)}
+          ORDER BY round(tf.tf * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)),
+                         {SCORE_DECIMALS}) DESC,
+                   tf.term ASC
+          LIMIT {int(max_query_terms)}
+        ), scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                      * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))) ) AS raw_score
+          FROM tf
+          SEMI JOIN q USING (term)
+          JOIN dfreq USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          WHERE tf.doc_id != {int(like_doc_id)}
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {int(k)}
+    """
+
+
+# ---------------------------------------------------------------------------
 # highlight: fragment extraction around the first query-term occurrence
 # ---------------------------------------------------------------------------
 

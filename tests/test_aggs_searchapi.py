@@ -171,6 +171,66 @@ def test_highlight_no_match_is_null(spark):
     assert rows == {1: None, 2: None}
 
 
+def test_range_filter_is_non_scoring(spark, docs_small):
+    """ES filter context: the range clause gates membership but never
+    changes a surviving doc's score."""
+    from engine.query import bm25_topk
+
+    allowed = docs_small.where(F.col("n_chars").between(250, 450))
+    filtered = dict(_rows(bm25_topk(
+        spark, docs_small, TERMS, k=50,
+        filter_docs=allowed.select("doc_id"),
+    )))
+    unfiltered = dict(_rows(bm25_topk(spark, docs_small, TERMS, k=500)))
+    allowed_ids = {r["doc_id"] for r in allowed.select("doc_id").collect()}
+    assert filtered and set(filtered) <= allowed_ids
+    for did, score in filtered.items():
+        assert unfiltered[did] == score
+
+
+def test_explain_contributions_sum_to_score(spark, docs_small):
+    from engine.query import bm25_topk
+    from engine.searchapi import explain_scores
+
+    scores = dict(_rows(bm25_topk(spark, docs_small, TERMS, k=10)))
+    rows = explain_scores(spark, docs_small, TERMS, k=10).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(scores)
+    for did, parts in by_doc.items():
+        total = sum(p["contribution"] for p in parts)
+        # each contribution is rounded to 4dp before summing
+        assert abs(total - scores[did]) <= 1e-4 * (len(parts) + 1)
+        for p in parts:
+            assert p["term"] in TERMS and p["tf"] >= 1 and p["df"] >= 1
+
+
+def test_significant_terms_properties(spark, docs_small):
+    from engine.aggs import significant_terms
+
+    rows = _rows(significant_terms(docs_small, ["spark", "table"],
+                                   size=10, min_doc_count=3))
+    assert 0 < len(rows) <= 10
+    for term, fg_df, bg_df, score in rows:
+        assert fg_df <= bg_df and fg_df >= 3
+    # the query terms themselves are maximally foreground-concentrated
+    terms_ranked = [r[0] for r in rows]
+    assert "spark" in terms_ranked and "table" in terms_ranked
+
+
+def test_more_like_this_excludes_source(spark, docs_small):
+    from engine.searchapi import more_like_this
+
+    src = 7
+    rows = _rows(more_like_this(spark, docs_small, src, max_query_terms=10, k=20))
+    assert len(rows) == 20
+    assert src not in {r[0] for r in rows}
+    # deterministic: re-run yields the identical page
+    again = _rows(more_like_this(spark, docs_small, src, max_query_terms=10, k=20))
+    assert rows == again
+
+
 @pytest.fixture(scope="module")
 def store_small(spark):
     """Small routed store (routing=lang) shared by the store-backed tests."""

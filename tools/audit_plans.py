@@ -147,6 +147,26 @@ def main() -> None:
         "mget_store": ([r"PushedFilters: \[.*[Ii]n\(url"], []),
         # _count: term IN pushed to the posting-block scan; ids-only decode
         "count_query_store": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        # range filter (bool FILTER context): a semi join gates membership;
+        # scoring joins stay broadcast; still a TakeOrderedAndProject top-k
+        "range_filter_search": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        # _explain: the k-row top-k relation is broadcast-semi-joined onto
+        # the per-(doc,term) contribution rows
+        "explain_score": ([r"BroadcastHashJoin"], [r"CartesianProduct"]),
+        # significant_terms: two (term, count) aggregates + a term join —
+        # documents never cross the shuffle; top-N is TakeOrderedAndProject
+        "significant_terms_agg": (
+            [r"HashAggregate", r"TakeOrderedAndProject"], [r"CartesianProduct"]
+        ),
+        # more_like_this: after the bounded term extraction it's a normal
+        # BM25 disjunction (broadcast query set, top-k)
+        "more_like_this": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
         # highlight: the bounded top-k page is the BROADCAST side joined to
         # the doc text; string exprs are Project-level (codegen ids aren't
         # printed for unexecuted AQE plans, so they can't be asserted here)
