@@ -787,6 +787,30 @@ def _q_more_like_this(spark, sf_dir):
     )
 
 
+_SUGGEST_SEED = "scor"  # misspelled input for the term suggester
+
+
+def _q_term_suggest(spark, sf_dir):
+    """ES term suggester ("did you mean"): corrections within 2 edits from
+    the corpus vocabulary, ranked (distance, df desc, term) — the
+    dictionary relation is the only thing scanned."""
+    from engine.fuzzy import corpus_vocab_df, term_suggest
+
+    vocab = corpus_vocab_df(_docs(spark, sf_dir))
+    return term_suggest(vocab, _SUGGEST_SEED, size=8, max_edits=2)
+
+
+def _q_term_suggest_store(spark, sf_dir):
+    """Term suggester served from the persisted store's term_stats relation
+    (the term DICTIONARY — postings/docs untouched). df values match the
+    corpus because the store is fully merged."""
+    from engine.fuzzy import term_suggest
+
+    store = _shared_store(spark, sf_dir)
+    vocab = store.term_stats_df(spark)
+    return term_suggest(vocab, _SUGGEST_SEED, size=8, max_edits=2)
+
+
 def _q_filtered_alias(spark, sf_dir):
     """Filtered alias (S11) — the reference's only literal query operator:
     a view restricted by termQuery(field, value)
@@ -856,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "term_suggest": _q_term_suggest,
+        "term_suggest_store": _q_term_suggest_store,
         "range_filter_search": _q_range_filter_search,
         "explain_score": _q_explain_score,
         "significant_terms_agg": _q_significant_terms,
@@ -975,6 +1001,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
+        "term_suggest": _fz().term_suggest_oracle_sql(
+            _SUGGEST_SEED, size=8, max_edits=2
+        ),
+        "term_suggest_store": _fz().term_suggest_oracle_sql(
+            _SUGGEST_SEED, size=8, max_edits=2
+        ),
         "range_filter_search": bm25_topk_oracle_sql(
             FLAGSHIP_TERMS, k=20,
             doc_filter=(

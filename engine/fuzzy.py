@@ -200,3 +200,112 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# term suggester (ES `suggest` -> term suggester, "did you mean")
+# ---------------------------------------------------------------------------
+
+
+def term_suggest(
+    vocab_df: DataFrame,
+    term: str,
+    size: int = 5,
+    max_edits: int = 2,
+    min_doc_freq: int = 1,
+    suggest_mode: str = "always",
+) -> DataFrame:
+    """ES term suggester over a (term, df) vocabulary relation: candidate
+    corrections within `max_edits` Levenshtein edits of the input, ranked
+    by (distance ASC, df DESC, term ASC) — ES's score-then-frequency sort
+    made fully deterministic — capped at `size`.
+
+    `vocab_df` is (term, df): the distinct token stream's doc counts on the
+    corpus path, or the store's term_stats relation (the term DICTIONARY —
+    postings and documents are never touched, same scale argument as
+    fuzzy_expansions: one column-pruned pass over vocabulary rows with a
+    length-window pre-filter before the levenshtein compare).
+
+    `suggest_mode="popular"`: only suggest terms with df strictly greater
+    than the input term's own df (ES's popular mode); "always" applies no
+    such gate. `min_doc_freq` drops rare-term suggestions (ES min_doc_freq,
+    an absolute count here).
+    """
+    if suggest_mode not in ("always", "popular"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    t = term.lower()
+    cand = vocab_df.select("term", "df").where(
+        (F.length("term") >= F.lit(len(t) - max_edits))
+        & (F.length("term") <= F.lit(len(t) + max_edits))
+        & (F.col("term") != F.lit(t))
+        & (F.col("df") >= F.lit(int(min_doc_freq)))
+    )
+    if suggest_mode == "popular":
+        own = (
+            vocab_df.where(F.col("term") == F.lit(t)).select("df").limit(1).collect()
+        )
+        own_df = int(own[0]["df"]) if own else 0
+        cand = cand.where(F.col("df") > F.lit(own_df))
+    dist = F.levenshtein(F.col("term"), F.lit(t))
+    return (
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") <= F.lit(int(max_edits)))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("suggestion").asc())
+        .limit(int(size))
+    )
+
+
+def corpus_vocab_df(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(term, df) vocabulary from a raw document table."""
+    from engine.query import corpus_tokens
+
+    return (
+        corpus_tokens(docs, id_col, text_col)
+        .select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def term_suggest_oracle_sql(
+    term: str,
+    size: int = 5,
+    max_edits: int = 2,
+    min_doc_freq: int = 1,
+    suggest_mode: str = "always",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    t = term.lower().replace("'", "''")
+    popular = ""
+    if suggest_mode == "popular":
+        popular = (
+            "AND df > coalesce((SELECT df FROM dfreq WHERE term = "
+            f"'{t}'), 0)"
+        )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+)
+SELECT term AS suggestion,
+       CAST(levenshtein(term, '{t}') AS INT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM dfreq
+WHERE abs(len(term) - {len(term.lower())}) <= {int(max_edits)}
+  AND term != '{t}'
+  AND df >= {int(min_doc_freq)}
+  AND levenshtein(term, '{t}') <= {int(max_edits)}
+  {popular}
+ORDER BY dist ASC, df DESC, suggestion ASC
+LIMIT {int(size)}
+"""

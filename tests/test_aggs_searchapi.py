@@ -231,6 +231,37 @@ def test_more_like_this_excludes_source(spark, docs_small):
     assert rows == again
 
 
+def test_term_suggest_modes(spark, docs_small):
+    from engine.fuzzy import corpus_vocab_df, term_suggest
+
+    vocab = corpus_vocab_df(docs_small)
+    rows = _rows(term_suggest(vocab, "scor", size=8, max_edits=2))
+    assert rows, "expected at least one suggestion"
+    # ranked (dist asc, df desc, term asc); never suggests the input itself
+    keys = [(d, -df, s) for s, d, df in rows]
+    assert keys == sorted(keys)
+    assert all(s != "scor" and d <= 2 for s, d, df in rows)
+
+    # popular mode: only terms more frequent than the input's own df
+    # (input df is 0 here, so popular == always for this seed)
+    pop = _rows(term_suggest(vocab, "scor", size=8, max_edits=2,
+                             suggest_mode="popular"))
+    assert pop == rows
+
+    # a seed that IS a common vocab term: popular mode only keeps
+    # strictly-more-frequent corrections
+    own = {s: df for s, d, df in
+           _rows(term_suggest(vocab, "table", size=50, max_edits=1))}
+    own_df = vocab.where(F.col("term") == "table").collect()[0]["df"]
+    pop2 = _rows(term_suggest(vocab, "table", size=50, max_edits=1,
+                              suggest_mode="popular"))
+    assert all(df > own_df for s, d, df in pop2)
+    assert {s for s, d, df in pop2} <= set(own)
+
+    with pytest.raises(ValueError):
+        term_suggest(vocab, "x", suggest_mode="bogus")
+
+
 @pytest.fixture(scope="module")
 def store_small(spark):
     """Small routed store (routing=lang) shared by the store-backed tests."""

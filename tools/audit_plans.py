@@ -147,6 +147,15 @@ def main() -> None:
         "mget_store": ([r"PushedFilters: \[.*[Ii]n\(url"], []),
         # _count: term IN pushed to the posting-block scan; ids-only decode
         "count_query_store": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        # term suggester: dictionary-relation scan only — an aggregate over
+        # tokens (corpus) or the term_stats relation (store), then a
+        # bounded TakeOrderedAndProject; never a postings/doc scan
+        "term_suggest": (
+            [r"HashAggregate", r"TakeOrderedAndProject"], [r"CartesianProduct"]
+        ),
+        "term_suggest_store": (
+            [r"TakeOrderedAndProject"], [r"CartesianProduct"]
+        ),
         # range filter (bool FILTER context): a semi join gates membership;
         # scoring joins stay broadcast; still a TakeOrderedAndProject top-k
         "range_filter_search": (
