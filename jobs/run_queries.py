@@ -46,6 +46,21 @@ def main() -> None:
     ap.add_argument("--fuzzy-prefix-length", type=int, default=0,
                     help="leading chars that must match exactly (ES "
                          "prefix_length)")
+    ap.add_argument("--suggest", action="append", default=None,
+                    help="term suggester (ES suggest, did-you-mean): "
+                         "corrections from the term dictionary ranked "
+                         "(distance, df desc, term); repeatable")
+    ap.add_argument("--suggest-mode", default="always",
+                    choices=["always", "popular"],
+                    help="popular = only corrections more frequent than "
+                         "the input term (ES suggest_mode)")
+    ap.add_argument("--count", action="append", default=None,
+                    help="_count: hit count for a space-separated "
+                         "disjunctive match query, served from posting "
+                         "metadata (ids-only decode); repeatable")
+    ap.add_argument("--mget", default=None,
+                    help="_mget: comma-separated url list, point lookup on "
+                         "the doc table (pushed IN filter)")
     ap.add_argument("--must-not", default=None,
                     help="space-separated must_not terms (ES bool filter "
                          "context): docs containing ANY are excluded, "
@@ -83,13 +98,14 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
     if not (args.query or args.phrase or args.prefix or args.fuzzy
-            or args.wildcard):
+            or args.wildcard or args.suggest or args.count or args.mget):
         ap.error("need at least one of --query / --phrase / --prefix / "
-                 "--fuzzy / --wildcard")
-    if (args.phrase or args.prefix or args.fuzzy or args.wildcard) and (
+                 "--fuzzy / --wildcard / --suggest / --count / --mget")
+    if (args.phrase or args.prefix or args.fuzzy or args.wildcard
+            or args.suggest or args.count or args.mget) and (
             args.routing or args.alias):
-        ap.error("--phrase/--prefix/--fuzzy/--wildcard do not take "
-                 "--routing/--alias")
+        ap.error("--phrase/--prefix/--fuzzy/--wildcard/--suggest/--count/"
+                 "--mget do not take --routing/--alias")
     bool_opts = args.must_not is not None or args.min_should_match is not None
     if bool_opts and args.alias:
         ap.error("--must-not/--min-should-match do not take --alias")
@@ -178,6 +194,53 @@ def main() -> None:
             "k": args.k,
             "latency_ms_p50": round(statistics.median(lats), 1),
             "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    for sg in args.suggest or []:
+        from engine.fuzzy import term_suggest
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            # the reader's cached term-stats relation IS the dictionary —
+            # suggestions never touch postings or documents
+            rows = term_suggest(
+                reader._term_stats, sg, size=args.k,
+                max_edits=args.max_edits, suggest_mode=args.suggest_mode,
+            ).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "suggest": sg,
+            "mode": args.suggest_mode,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "suggestions": [
+                (r["suggestion"], r["dist"], r["df"]) for r in rows
+            ],
+        }))
+
+    for cq in args.count or []:
+        from engine.searchapi import count_query_store
+
+        terms = cq.split()
+        lats, n = [], 0
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            n = count_query_store(spark, store, terms).collect()[0]["n_hits"]
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "count": terms,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "n_hits": int(n),
+        }))
+
+    if args.mget:
+        from engine.searchapi import mget_store
+
+        urls = [u for u in args.mget.split(",") if u]
+        rows = mget_store(spark, store, urls).collect()
+        print(json.dumps({
+            "mget": urls,
+            "found": [(r["url"], r["doc_id"], r["doc_len"]) for r in rows],
         }))
 
     must_not = args.must_not.split() if args.must_not else None
