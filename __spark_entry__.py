@@ -811,6 +811,18 @@ def _q_term_suggest_store(spark, sf_dir):
     return term_suggest(vocab, _SUGGEST_SEED, size=8, max_edits=2)
 
 
+def _q_function_score(spark, sf_dir):
+    """ES function_score + field_value_factor (boost_mode multiply,
+    modifier log1p over n_chars): BM25 relevance multiplied by a per-doc
+    attribute factor before the single rounding — the standard
+    recency/popularity/length boost."""
+    from engine.searchapi import function_score_topk
+
+    return function_score_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, "n_chars", k=20
+    )
+
+
 def _q_filtered_alias(spark, sf_dir):
     """Filtered alias (S11) — the reference's only literal query operator:
     a view restricted by termQuery(field, value)
@@ -880,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "function_score": _q_function_score,
         "term_suggest": _q_term_suggest,
         "term_suggest_store": _q_term_suggest_store,
         "range_filter_search": _q_range_filter_search,
@@ -1001,6 +1014,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
+        "function_score": _sa().function_score_oracle_sql(
+            FLAGSHIP_TERMS, "n_chars", k=20
+        ),
         "term_suggest": _fz().term_suggest_oracle_sql(
             _SUGGEST_SEED, size=8, max_edits=2
         ),

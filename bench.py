@@ -44,6 +44,7 @@ def main() -> None:
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "range_filter_search", "explain_score", "significant_terms_agg",
         "more_like_this", "term_suggest", "term_suggest_store",
+        "function_score",
         "terms_agg", "date_histogram_agg", "stats_agg", "cardinality_agg",
         "shard_doc_stats", "sort_search_after", "mget_store",
         "count_query_store", "highlight_snippets",

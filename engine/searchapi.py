@@ -390,6 +390,126 @@ def more_like_this_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# function_score (ES `function_score` with field_value_factor)
+# ---------------------------------------------------------------------------
+
+
+def function_score_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    factor_col: str,
+    k: int = 10,
+    modifier: str = "log1p",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `function_score` with a `field_value_factor` function and
+    `boost_mode: multiply` — the standard "boost relevance by a document
+    attribute" pattern (recency, popularity, length):
+
+        final_score = bm25(q, d) * modifier(doc[factor_col])
+
+    `modifier="log1p"` (ln(1 + x), ES's log1p) or "none". The factor is a
+    per-doc JVM column expression multiplied into the UNROUNDED BM25 sum
+    before the single rounding — so the oracle reproduces the exact
+    ranking. Same plan shape as bm25_topk: broadcast-semi-filtered token
+    stream, broadcast df/stats, one top-k."""
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+    from engine.query import corpus_stats, corpus_tokens, doc_lengths
+
+    if modifier not in ("log1p", "none"):
+        raise ValueError(f"unknown modifier {modifier!r}")
+    cfg = DEFAULT_CONFIG
+    q = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    matched = corpus_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
+    tf = matched.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rows = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+    )
+    per_doc = rows.groupBy("doc_id").agg(
+        F.sum(idf * (F.col("tf") / denom)).alias("raw_score")
+    )
+    fac = F.col(factor_col).cast("double")
+    if modifier == "log1p":
+        fac = F.log(F.lit(1.0) + fac)
+    boosted = per_doc.join(
+        docs.select(F.col(id_col).alias("doc_id"), fac.alias("_factor")),
+        "doc_id",
+    )
+    return (
+        boosted.select(
+            "doc_id",
+            F.round(F.col("raw_score") * F.col("_factor"), SCORE_DECIMALS)
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def function_score_oracle_sql(
+    query_terms: list[str],
+    factor_col: str,
+    k: int = 10,
+    modifier: str = "log1p",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+
+    cfg = DEFAULT_CONFIG
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    fac = f"CAST({factor_col} AS DOUBLE)"
+    if modifier == "log1p":
+        fac = f"ln(1 + {fac})"
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+        ), dl AS (
+          SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+        ), q(term) AS (VALUES {terms_values}),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          SEMI JOIN q USING (term) GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+        ), scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                      * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))) ) AS raw_score
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id, round(s.raw_score * {fac}, {SCORE_DECIMALS}) AS score
+        FROM scored s JOIN {table} t ON s.doc_id = t.{id_col}
+        ORDER BY score DESC, s.doc_id ASC
+        LIMIT {int(k)}
+    """
+
+
+# ---------------------------------------------------------------------------
 # highlight: fragment extraction around the first query-term occurrence
 # ---------------------------------------------------------------------------
 

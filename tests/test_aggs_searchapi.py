@@ -231,6 +231,34 @@ def test_more_like_this_excludes_source(spark, docs_small):
     assert rows == again
 
 
+def test_function_score_reranks_by_factor(spark, docs_small):
+    from engine.searchapi import function_score_topk
+
+    import math
+
+    from engine.query import bm25_topk
+
+    plain = dict(_rows(bm25_topk(spark, docs_small, TERMS, k=500)))
+    boosted = dict(_rows(function_score_topk(
+        spark, docs_small, TERMS, "n_chars", k=500, modifier="log1p")))
+    raw = dict(_rows(function_score_topk(
+        spark, docs_small, TERMS, "n_chars", k=500, modifier="none")))
+    assert set(plain) == set(boosted) == set(raw)  # same hit set
+    chars = {r["doc_id"]: r["n_chars"]
+             for r in docs_small.select("doc_id", "n_chars").collect()}
+    for did, s in boosted.items():
+        # boost_mode multiply: bm25 * log1p(n_chars) (plain is rounded,
+        # so allow rounding slack)
+        expect = plain[did] * math.log1p(chars[did])
+        assert abs(s - expect) < 1e-3 * max(1.0, abs(expect))
+        # modifier "none" multiplies by the raw field value
+        expect_raw = plain[did] * chars[did]
+        assert abs(raw[did] - expect_raw) < 1e-3 * max(1.0, abs(expect_raw))
+    with pytest.raises(ValueError):
+        function_score_topk(spark, docs_small, TERMS, "n_chars",
+                            modifier="bogus")
+
+
 def test_term_suggest_modes(spark, docs_small):
     from engine.fuzzy import corpus_vocab_df, term_suggest
 

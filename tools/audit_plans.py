@@ -147,6 +147,12 @@ def main() -> None:
         "mget_store": ([r"PushedFilters: \[.*[Ii]n\(url"], []),
         # _count: term IN pushed to the posting-block scan; ids-only decode
         "count_query_store": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        # function_score: bm25 shape + one extra broadcast-able join for the
+        # per-doc factor column; still a single top-k
+        "function_score": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
         # term suggester: dictionary-relation scan only — an aggregate over
         # tokens (corpus) or the term_stats relation (store), then a
         # bounded TakeOrderedAndProject; never a postings/doc scan
