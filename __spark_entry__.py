@@ -686,6 +686,23 @@ def _q_cardinality_agg(spark, sf_dir):
     return cardinality_agg(ev, "event_type", "user_id")
 
 
+def _q_histogram_agg(spark, sf_dir):
+    """ES `histogram`: fixed-width numeric buckets (n_chars / 50) with an
+    avg sub-agg — one hash-aggregate shuffle keyed by the bucket."""
+    from engine.aggs import histogram_agg
+
+    return histogram_agg(_docs(spark, sf_dir), "n_chars", 50, value_col="n_chars")
+
+
+def _q_percentiles_agg(spark, sf_dir):
+    """ES `percentiles`, exact tier (linear interpolation, identical in
+    Spark `percentile` and DuckDB `quantile_cont`); the t-digest-style
+    approx_percentile scale path is pytest-bounded against this."""
+    from engine.aggs import percentiles_agg
+
+    return percentiles_agg(_docs(spark, sf_dir), "n_chars")
+
+
 def _q_shard_doc_stats(spark, sf_dir):
     """ES `_stats`/`_cat/shards` shape: per-routing doc counts + total doc
     length folded from segment METADATA (routing_stats in stats.json) —
@@ -903,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_agg": _q_date_histogram,
         "stats_agg": _q_stats_agg,
         "cardinality_agg": _q_cardinality_agg,
+        "histogram_agg": _q_histogram_agg,
+        "percentiles_agg": _q_percentiles_agg,
         "shard_doc_stats": _q_shard_doc_stats,
         "sort_search_after": _q_sort_search_after,
         "mget_store": _q_mget_store,
@@ -1043,6 +1062,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stats_agg": _ag().stats_agg_oracle_sql(FLAGSHIP_TERMS),
         "cardinality_agg": _ag().cardinality_agg_oracle_sql("event_type", "user_id"),
+        "histogram_agg": _ag().histogram_agg_oracle_sql(
+            "n_chars", 50, value_col="n_chars"
+        ),
+        "percentiles_agg": _ag().percentiles_agg_oracle_sql("n_chars"),
         # metadata-served per-routing stats must equal the full data scan
         "shard_doc_stats": _ag().routing_doc_counts_oracle_sql("lang"),
         "sort_search_after": _sa().sort_search_after_oracle_sql(

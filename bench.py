@@ -45,7 +45,8 @@ def main() -> None:
         "range_filter_search", "explain_score", "significant_terms_agg",
         "more_like_this", "term_suggest", "term_suggest_store",
         "function_score",
-        "terms_agg", "date_histogram_agg", "stats_agg", "cardinality_agg",
+        "terms_agg", "date_histogram_agg", "histogram_agg", "percentiles_agg",
+        "stats_agg", "cardinality_agg",
         "shard_doc_stats", "sort_search_after", "mget_store",
         "count_query_store", "highlight_snippets",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",

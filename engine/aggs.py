@@ -234,6 +234,112 @@ def cardinality_approx(
 
 
 # ---------------------------------------------------------------------------
+# histogram aggregation (ES `histogram`, fixed numeric interval)
+# ---------------------------------------------------------------------------
+
+
+def histogram_agg(
+    df: DataFrame, field: str, interval: int, value_col: str | None = None
+) -> DataFrame:
+    """ES `histogram` aggregation: fixed-width numeric buckets keyed by
+    floor(value / interval) * interval, doc_count per bucket plus an
+    optional avg sub-aggregation. Same single-shuffle partial+final
+    hash-aggregate shape as date_histogram; bucket count is bounded by the
+    value range / interval, independent of corpus size."""
+    key = (F.floor(F.col(field) / F.lit(int(interval))) * F.lit(int(interval)))
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.avg(value_col), SCORE_DECIMALS).alias(f"avg_{value_col}")
+        )
+    return (
+        df.groupBy(key.cast("long").alias("bucket"))
+        .agg(*aggs)
+        .orderBy("bucket")
+    )
+
+
+def histogram_agg_oracle_sql(
+    field: str, interval: int, value_col: str | None = None,
+    table: str = "documents",
+) -> str:
+    metric = (
+        f", round(avg({value_col}), {SCORE_DECIMALS}) AS avg_{value_col}"
+        if value_col
+        else ""
+    )
+    return f"""
+        SELECT CAST(floor({field} / {int(interval)}) * {int(interval)} AS BIGINT) AS bucket,
+               count(*) AS doc_count{metric}
+        FROM {table}
+        GROUP BY 1 ORDER BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# percentiles aggregation (ES `percentiles` — t-digest-approximate in ES)
+# ---------------------------------------------------------------------------
+
+PERCENTS = [25.0, 50.0, 75.0, 95.0, 99.0]
+
+
+def percentiles_agg(
+    df: DataFrame, field: str, percents: list[float] = PERCENTS
+) -> DataFrame:
+    """Exact-tier ES `percentiles` agg: one row per requested percentile of
+    `field`, linear interpolation (Spark's exact `percentile` and DuckDB's
+    `quantile_cont` interpolate identically — verified). The exact
+    percentile is a sort-based aggregate; `percentiles_approx` below is the
+    100 TB path (ES's own percentiles agg is t-digest-approximate)."""
+    fracs = [p / 100.0 for p in percents]
+    arr = df.agg(F.percentile(field, F.lit(fracs)).alias("_vals"))
+    pct = F.array(*[F.lit(float(p)) for p in percents])
+    return (
+        arr.select(F.posexplode("_vals").alias("_i", "value"))
+        .select(
+            F.element_at(pct, F.col("_i") + 1).alias("percent"),
+            F.round("value", SCORE_DECIMALS).alias("value"),
+        )
+        .orderBy("percent")
+    )
+
+
+def percentiles_agg_oracle_sql(
+    field: str, percents: list[float] = PERCENTS, table: str = "documents"
+) -> str:
+    plist = ", ".join(str(p / 100.0) for p in percents)
+    pctlist = ", ".join(str(float(p)) for p in percents)
+    return f"""
+        WITH qa AS (
+          SELECT quantile_cont({field}, [{plist}]) AS vals FROM {table}
+        )
+        SELECT CAST(unnest([{pctlist}]) AS DOUBLE) AS percent,
+               round(unnest(vals), {SCORE_DECIMALS}) AS value
+        FROM qa
+        ORDER BY percent
+    """
+
+
+def percentiles_approx(
+    df: DataFrame, field: str, percents: list[float] = PERCENTS,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The scale path: `approx_percentile` (Greenwald-Khanna sketch —
+    mergeable partial aggregates, bounded memory, the same
+    sketch-then-merge shape as ES's t-digest percentiles). Not
+    oracle-hashable by design; pytest bounds its error vs the exact tier."""
+    fracs = [p / 100.0 for p in percents]
+    arr = df.agg(
+        F.approx_percentile(field, F.lit(fracs), F.lit(accuracy)).alias("_vals")
+    )
+    pct = F.array(*[F.lit(float(p)) for p in percents])
+    return arr.select(F.posexplode("_vals").alias("_i", "value")).select(
+        F.element_at(pct, F.col("_i") + 1).alias("percent"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # significant_terms aggregation (ES `significant_terms`, JLH heuristic)
 # ---------------------------------------------------------------------------
 

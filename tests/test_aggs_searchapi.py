@@ -86,6 +86,39 @@ def test_cardinality_exact_and_approx(spark):
         assert abs(e - exact[k]) <= max(3, 0.15 * exact[k]), (k, e, exact[k])
 
 
+def test_histogram_matches_oracle(spark, docs_small):
+    from engine.aggs import histogram_agg, histogram_agg_oracle_sql
+
+    got = _rows(histogram_agg(docs_small, "n_chars", 50, value_col="n_chars"))
+    want = _duck(SF_SMOKE, histogram_agg_oracle_sql("n_chars", 50, "n_chars"))
+    assert _norm(got) == _norm(want)
+    # ES bucket contract: keys are multiples of the interval, counts sum
+    # to the corpus
+    assert all(b % 50 == 0 for b, c, a in got)
+    assert sum(c for b, c, a in got) == docs_small.count()
+
+
+def test_percentiles_exact_and_approx(spark, docs_small):
+    from engine.aggs import (
+        percentiles_agg,
+        percentiles_agg_oracle_sql,
+        percentiles_approx,
+    )
+
+    got = _rows(percentiles_agg(docs_small, "n_chars"))
+    want = _duck(SF_SMOKE, percentiles_agg_oracle_sql("n_chars"))
+    assert _norm(got) == _norm(want)
+    vals = [v for p, v in got]
+    assert vals == sorted(vals)  # monotone in the percentile
+
+    exact = dict(got)
+    approx = dict(_rows(percentiles_approx(docs_small, "n_chars")))
+    assert set(approx) == set(exact)
+    lo, hi = min(exact.values()), max(exact.values())
+    for p, v in approx.items():
+        assert abs(v - exact[p]) <= 0.05 * (hi - lo) + 1, (p, v, exact[p])
+
+
 def test_shard_doc_stats_metadata_equals_scan(spark, store_small):
     """Metadata-served per-routing stats == full data-scan answer."""
     from engine.aggs import routing_doc_counts

@@ -133,6 +133,10 @@ def main() -> None:
         # terms_agg's top-N is TakeOrderedAndProject over the buckets
         "terms_agg": ([r"HashAggregate", r"TakeOrderedAndProject"], []),
         "date_histogram_agg": ([r"HashAggregate"], []),
+        "histogram_agg": ([r"HashAggregate"], [r"Join"]),
+        # exact percentiles: a sort-based ObjectHashAggregate pair — still
+        # partial+final, no join
+        "percentiles_agg": ([r"Aggregate"], [r"Join"]),
         # stats agg: filter + ONE aggregate, no join, no per-doc shuffle
         # beyond the single-row final agg exchange
         "stats_agg": ([r"HashAggregate"], [r"Join"]),
