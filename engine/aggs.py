@@ -362,12 +362,14 @@ def significant_terms(
     foreground df < `min_doc_count` are dropped (ES min_doc_count, default
     3 here); top-`size` by (jlh desc, term asc).
 
-    Plan shape at scale: the token stream is aggregated TWICE (distinct
-    per-doc terms -> per-term doc counts, once for the background corpus,
-    once semi-joined to the foreground hit set), then a term-keyed join of
-    the two bounded (term, count) relations. Documents never cross the
-    shuffle — only (term, count) rows. n_fg/n_bg are scalar counts. This is
-    the same shard-local-count-then-merge shape ES uses.
+    Plan shape at scale (single tokenize pass, zero driver actions): the
+    distinct (doc_id, term) relation is tagged per doc with "matches the
+    query" (a doc-keyed aggregate + co-partitioned join back), then ONE
+    term-keyed aggregate produces bg_df = count(*) and
+    fg_df = sum(is_fg) together. n_fg / n_bg ride along as broadcast
+    single-row aggregates. Documents never cross a shuffle — only
+    (doc_id, term) and (term, counts) rows. This is the same
+    shard-local-count-then-merge shape ES uses.
 
     All rates derive from integer counts via IEEE division, so the oracle
     reproduces them bit-identically; jlh is rounded to SCORE_DECIMALS.
@@ -377,26 +379,29 @@ def significant_terms(
         .select("doc_id", F.explode("_t").alias("term"))
         .distinct()
     )
-    lits = F.array(*[F.lit(t) for t in query_terms])
-    fg_ids = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
-        .where(F.arrays_overlap(F.col("_t"), lits))
-        .select("doc_id")
+    # a doc is foreground iff any of its (distinct) terms is a query term —
+    # identical membership to arrays_overlap on the raw token array
+    doc_flag = per_doc_terms.groupBy("doc_id").agg(
+        F.max(F.col("term").isin(list(query_terms)).cast("int")).alias("is_fg")
     )
-    n_bg = docs.count()
-    n_fg = fg_ids.count()
-    bg = per_doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
-    fg = (
-        per_doc_terms.join(fg_ids, "doc_id", "left_semi")
+    counts = (
+        per_doc_terms.join(doc_flag, "doc_id")
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .agg(
+            F.count(F.lit(1)).alias("bg_df"),
+            F.sum("is_fg").alias("fg_df"),
+        )
         .where(F.col("fg_df") >= F.lit(int(min_doc_count)))
     )
-    fg_rate = F.col("fg_df") / F.lit(float(n_fg))
-    bg_rate = F.col("bg_df") / F.lit(float(n_bg))
+    n = (
+        docs.agg(F.count(F.lit(1)).alias("n_bg"))
+        .crossJoin(doc_flag.agg(F.sum("is_fg").alias("n_fg")))
+    )
+    fg_rate = F.col("fg_df") / F.col("n_fg").cast("double")
+    bg_rate = F.col("bg_df") / F.col("n_bg").cast("double")
     jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
     return (
-        fg.join(bg, "term")
+        counts.crossJoin(F.broadcast(n))
         .select(
             "term",
             F.col("fg_df").cast("long").alias("fg_df"),

@@ -262,14 +262,12 @@ def term_suggest(
 
 def corpus_vocab_df(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
-    """(term, df) vocabulary from a raw document table."""
-    from engine.query import corpus_tokens
+    """(term, df) vocabulary from a raw document table — the engine's one
+    df definition (engine/query.py doc_frequencies over term_frequencies),
+    not a re-derivation."""
+    from engine.query import doc_frequencies, term_frequencies
 
-    return (
-        corpus_tokens(docs, id_col, text_col)
-        .select("doc_id", "term").distinct()
-        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
+    return doc_frequencies(term_frequencies(docs, id_col, text_col))
 
 
 def term_suggest_oracle_sql(

@@ -75,6 +75,51 @@ def corpus_stats(doclen: DataFrame) -> DataFrame:
     )
 
 
+def bm25_contribs(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, matched term) BM25 components over a raw document table:
+    (doc_id, term, tf, df, doc_len, n_docs, avgdl, idf, contrib) where
+    contrib = idf * tf / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    The single source of the BM25 formula for the corpus paths: bm25_topk
+    sums it, explain_scores exposes it, function_score_topk boosts it —
+    one expression tree, no copies to desynchronize.
+
+    Scale-critical shape: the exploded token stream is broadcast-semi-
+    filtered to the query terms BEFORE any shuffle, so tf aggregates only
+    matching occurrences; df is computed only for query terms (values
+    identical to full-corpus df for those terms); stats is a broadcast
+    single row."""
+    q_terms = sorted(set(query_terms))
+    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    matched = corpus_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
+    tf = matched.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rows = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+    )
+    return rows.withColumn("idf", idf).withColumn(
+        "contrib", F.col("idf") * (F.col("tf") / denom)
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     docs: DataFrame,
@@ -87,6 +132,7 @@ def bm25_topk(
     min_should_match: int | None = None,
     must_not_terms: list[str] | None = None,
     filter_docs: DataFrame | None = None,
+    exclude_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over a raw document table (no prebuilt index).
 
@@ -106,40 +152,15 @@ def bm25_topk(
       in results — ES bool FILTER context (e.g. a `range` clause): scores,
       df, avgdl, n_docs are computed as if unfiltered; the filter only
       gates result membership (left-semi join before the top-k).
+    - `exclude_doc_ids`: a SMALL literal id exclusion (e.g. more_like_this
+      dropping its source doc) — a NOT-isin filter, never a join.
     """
     q_terms = sorted(set(query_terms))
-    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
-
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = corpus_stats(dl)
-
-    # Scale-critical: filter the exploded token stream to the query terms
-    # BEFORE any shuffle (broadcast-hash semi-filter), so the
-    # groupBy(doc_id, term) aggregates only matching occurrences instead of
-    # building tf for the whole vocabulary. df is likewise computed only for
-    # query terms (identical values to a full-corpus df for those terms).
-    matched_tokens = corpus_tokens(docs, id_col, text_col).join(
-        F.broadcast(q), "term"
+    contribs = bm25_contribs(
+        spark, docs, q_terms, cfg=cfg, id_col=id_col, text_col=text_col
     )
-    tf = matched_tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    matched = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
-    )
-    contrib = idf * (F.col("tf") / denom)
-
-    per_doc = matched.groupBy("doc_id").agg(
-        F.sum(contrib).alias("raw_score"),
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.sum("contrib").alias("raw_score"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
     msm = len(q_terms) if conjunctive else min_should_match
@@ -162,6 +183,8 @@ def bm25_topk(
         per_doc = per_doc.join(
             filter_docs.select("doc_id"), "doc_id", "left_semi"
         )
+    if exclude_doc_ids:
+        per_doc = per_doc.where(~F.col("doc_id").isin(list(exclude_doc_ids)))
 
     return (
         per_doc.select(
@@ -580,6 +603,25 @@ class IndexReader:
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k)
+
+    def suggest(
+        self,
+        term: str,
+        size: int = 5,
+        max_edits: int = 2,
+        min_doc_freq: int = 1,
+        suggest_mode: str = "always",
+    ) -> DataFrame:
+        """ES term suggester ("did you mean") from the held-open reader:
+        corrections ranked (distance, df desc, term) over the CACHED
+        term-stats relation — the dictionary is the only thing consulted,
+        postings and documents are never touched."""
+        from engine.fuzzy import term_suggest
+
+        return term_suggest(
+            self._term_stats, term, size=size, max_edits=max_edits,
+            min_doc_freq=min_doc_freq, suggest_mode=suggest_mode,
+        )
 
     def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:
         """ES match_phrase from the held-open reader (query-server mode).

@@ -170,6 +170,7 @@ def explain_scores(
     docs: DataFrame,
     query_terms: list[str],
     k: int = 10,
+    cfg=None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -178,42 +179,25 @@ def explain_scores(
     term's score contribution — exactly the breakdown ES renders as the
     explanation tree (weight = idf * tf_norm per term, summed).
 
-    Same scale shape as bm25_topk (engine/query.py — the formulas here
-    mirror it expression-for-expression): broadcast-semi-filter the token
-    stream to the query terms before any shuffle, aggregate tf, broadcast
-    df/stats, then keep only rows whose doc is in the top-k (semi join on
-    the k-row top-k relation, broadcast)."""
+    Built on the SAME per-(doc,term) relation bm25_topk sums
+    (engine/query.py bm25_contribs — one expression tree, computed once):
+    the top-k ids are derived by re-aggregating that relation, so the whole
+    query is a single tokenize/tf/df pass, with the k-row top-k relation
+    broadcast-semi-joined back onto the contribution rows."""
     from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
-    from engine.query import (
-        bm25_topk,
-        corpus_stats,
-        corpus_tokens,
-        doc_lengths,
-    )
+    from engine.query import bm25_contribs
 
-    cfg = DEFAULT_CONFIG
-    q = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "term string"
+    cfg = cfg or DEFAULT_CONFIG
+    rows = bm25_contribs(spark, docs, query_terms, cfg=cfg,
+                         id_col=id_col, text_col=text_col)
+    # same rounded-score tie-break as bm25_topk (score desc, doc_id asc)
+    topk = (
+        rows.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id")
     )
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = corpus_stats(dl)
-    matched = corpus_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
-    tf = matched.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    rows = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
-    )
-    topk = bm25_topk(spark, docs, query_terms, k=k, id_col=id_col,
-                     text_col=text_col).select("doc_id")
     return (
         rows.join(F.broadcast(topk), "doc_id", "left_semi")
         .select(
@@ -221,8 +205,8 @@ def explain_scores(
             "term",
             F.col("tf").cast("long").alias("tf"),
             F.col("df").cast("long").alias("df"),
-            F.round(idf, SCORE_DECIMALS).alias("idf"),
-            F.round(idf * (F.col("tf") / denom), SCORE_DECIMALS).alias("contribution"),
+            F.round("idf", SCORE_DECIMALS).alias("idf"),
+            F.round("contrib", SCORE_DECIMALS).alias("contribution"),
         )
     )
 
@@ -330,12 +314,10 @@ def more_like_this(
     if not mlt_terms:
         return bm25_topk(spark, docs, ["__none__"], k=k,
                          id_col=id_col, text_col=text_col)
-    others = docs.where(F.col(id_col) != F.lit(like_doc_id)).select(
-        F.col(id_col).alias("doc_id")
-    )
+    # the source doc is excluded with a one-literal NOT-isin — never a join
     return bm25_topk(
         spark, docs, mlt_terms, k=k, id_col=id_col, text_col=text_col,
-        filter_docs=others,
+        exclude_doc_ids=[like_doc_id],
     )
 
 
@@ -401,6 +383,7 @@ def function_score_topk(
     factor_col: str,
     k: int = 10,
     modifier: str = "log1p",
+    cfg=None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -410,39 +393,23 @@ def function_score_topk(
 
         final_score = bm25(q, d) * modifier(doc[factor_col])
 
-    `modifier="log1p"` (ln(1 + x), ES's log1p) or "none". The factor is a
-    per-doc JVM column expression multiplied into the UNROUNDED BM25 sum
-    before the single rounding — so the oracle reproduces the exact
-    ranking. Same plan shape as bm25_topk: broadcast-semi-filtered token
-    stream, broadcast df/stats, one top-k."""
+    `modifier="log1p"` (ln(1 + x), ES's log1p) or "none" (the raw field
+    value). The factor is a per-doc JVM column expression multiplied into
+    the UNROUNDED BM25 sum before the single rounding — so the oracle
+    reproduces the exact ranking. Plan: the shared bm25_contribs relation
+    (engine/query.py) summed per doc, one extra broadcast-able join for
+    the factor column, one top-k."""
     from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
-    from engine.query import corpus_stats, corpus_tokens, doc_lengths
+    from engine.query import bm25_contribs
 
     if modifier not in ("log1p", "none"):
         raise ValueError(f"unknown modifier {modifier!r}")
-    cfg = DEFAULT_CONFIG
-    q = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "term string"
-    )
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = corpus_stats(dl)
-    matched = corpus_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
-    tf = matched.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    rows = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
-    )
-    per_doc = rows.groupBy("doc_id").agg(
-        F.sum(idf * (F.col("tf") / denom)).alias("raw_score")
+    cfg = cfg or DEFAULT_CONFIG
+    per_doc = (
+        bm25_contribs(spark, docs, query_terms, cfg=cfg,
+                      id_col=id_col, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("raw_score"))
     )
     fac = F.col(factor_col).cast("double")
     if modifier == "log1p":

@@ -103,9 +103,11 @@ def main() -> None:
                  "--fuzzy / --wildcard / --suggest / --count / --mget")
     if (args.phrase or args.prefix or args.fuzzy or args.wildcard
             or args.suggest or args.count or args.mget) and (
-            args.routing or args.alias):
+            args.routing or args.routing_key or args.alias):
+        # --routing-key resolves into a routing value below, so it must be
+        # rejected here too or the reader-served families would crash later
         ap.error("--phrase/--prefix/--fuzzy/--wildcard/--suggest/--count/"
-                 "--mget do not take --routing/--alias")
+                 "--mget do not take --routing/--routing-key/--alias")
     bool_opts = args.must_not is not None or args.min_should_match is not None
     if bool_opts and args.alias:
         ap.error("--must-not/--min-should-match do not take --alias")
@@ -197,15 +199,13 @@ def main() -> None:
         }))
 
     for sg in args.suggest or []:
-        from engine.fuzzy import term_suggest
-
         lats, rows = [], []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
-            # the reader's cached term-stats relation IS the dictionary —
+            # reader.suggest serves from the cached term-stats relation —
             # suggestions never touch postings or documents
-            rows = term_suggest(
-                reader._term_stats, sg, size=args.k,
+            rows = reader.suggest(
+                sg, size=args.k,
                 max_edits=args.max_edits, suggest_mode=args.suggest_mode,
             ).collect()
             lats.append((time.perf_counter() - t0) * 1000)
