@@ -130,6 +130,34 @@ def _q_bm25_topk_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES best_fields / dis_max (title^2 + text, tie_breaker 0.3): the best
+    single field's score + 0.3 * the others — the multi-field mode ES uses
+    by default for multi_match."""
+    from engine.query import bm25_topk_fields
+
+    return bm25_topk_fields(
+        spark, _docs_with_title(spark, sf_dir), FLAGSHIP_TERMS,
+        [("title", 2.0), ("text", 1.0)], k=20,
+        mode="best_fields", tie_breaker=0.3,
+    )
+
+
+_BOOSTING_NEG = ["slow"]  # demoted (not excluded) term
+
+
+def _q_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: positive BM25 match; docs also matching the
+    negative query are DEMOTED (score * negative_boost), not excluded —
+    the complement of bool must_not."""
+    from engine.searchapi import boosting_query
+
+    return boosting_query(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, _BOOSTING_NEG,
+        negative_boost=0.5, k=20,
+    )
+
+
 # ES match_phrase (engine/phrase.py): "table hash" is a mid-selectivity
 # bigram in the synthetic corpus (46 docs at sf0.01).
 _PHRASE = ["table", "hash"]
@@ -880,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_fields": _q_bm25_topk_fields,
+        "bm25_dismax": _q_bm25_dismax,
+        "boosting_query": _q_boosting_query,
         "phrase_freqs": _q_phrase_freqs,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
         "bm25_phrase_store": _q_bm25_phrase_store,
@@ -960,6 +990,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
         "bm25_topk_fields": _bm25_fields_oracle(),
+        "bm25_dismax": _bm25_dismax_oracle(),
+        "boosting_query": _sa().boosting_oracle_sql(
+            FLAGSHIP_TERMS, _BOOSTING_NEG, negative_boost=0.5, k=20
+        ),
         "phrase_freqs": _phr().phrase_freq_oracle_sql(_PHRASE),
         "bm25_phrase_topk": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
         "bm25_phrase_store": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
@@ -1172,6 +1206,19 @@ def _bm25_fields_oracle() -> str:
     )
     return bm25_fields_oracle_sql(
         FLAGSHIP_TERMS, [(title_expr, 2.0), ("text", 1.0)], k=20
+    )
+
+
+def _bm25_dismax_oracle() -> str:
+    from engine.query import bm25_fields_oracle_sql
+
+    title_expr = (
+        "array_to_string(regexp_extract_all(lower(coalesce(text, '')), "
+        f"'{TOKEN_PATTERN}')[1:{_TITLE_LEN}], ' ')"
+    )
+    return bm25_fields_oracle_sql(
+        FLAGSHIP_TERMS, [(title_expr, 2.0), ("text", 1.0)], k=20,
+        mode="best_fields", tie_breaker=0.3,
     )
 
 

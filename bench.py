@@ -32,7 +32,8 @@ def main() -> None:
     # for correctness checking at sf0.01, not for timing at sf0.1
     headline = [
         "term_frequencies", "doc_lengths", "doc_frequencies", "corpus_stats",
-        "bm25_topk", "bm25_topk_fields", "bm25_topk_conjunctive", "bm25_topk_wand",
+        "bm25_topk", "bm25_topk_fields", "bm25_dismax", "boosting_query",
+        "bm25_topk_conjunctive", "bm25_topk_wand",
         "bm25_topk_store", "postings_roundtrip", "postings_roundtrip_pfor",
         "bm25_topk_indexed",
         "phrase_freqs", "bm25_phrase_topk", "bm25_phrase_store",

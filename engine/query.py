@@ -745,58 +745,60 @@ def bm25_topk_fields(
     k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """ES-style multi-field BM25 ("most_fields"): score = sum over fields of
-    boost * that field's BM25, each field with its OWN tf/df/doc-length/avgdl
-    (per-field norms). The reference posts the whole JSON `_source` and ES
-    5.5 indexes every field (ElasticSearchBatchService.java:60), so a
-    reference user's `fields=["title^2","text"]` query is first-class here
-    too (VERDICT r04 "What's missing" #2).
+    """ES-style multi-field BM25, each field with its OWN
+    tf/df/doc-length/avgdl (per-field norms). The reference posts the whole
+    JSON `_source` and ES 5.5 indexes every field
+    (ElasticSearchBatchService.java:60), so a reference user's
+    `fields=["title^2","text"]` query is first-class here too (VERDICT r04
+    "What's missing" #2).
+
+    `mode="most_fields"`: score = sum over fields of boost * field BM25.
+    `mode="best_fields"`: ES dis_max — score = best field score +
+    tie_breaker * (sum of the other fields' scores); tie_breaker=0 is the
+    pure dis_max default, 1.0 degenerates to most_fields.
 
     `fields`: [(column_name, boost), ...] — each column holds that field's
-    text. Same scale shape as bm25_topk: the exploded token stream is
-    broadcast-semi-filtered to the query terms BEFORE any shuffle, df/stats
-    are tiny broadcast sides, top-k is a TakeOrderedAndProject."""
+    text. Per field this is the shared bm25_contribs relation
+    (broadcast-semi-filtered token stream, broadcast df/stats); the union
+    is field-count bounded and the top-k is a TakeOrderedAndProject."""
     from functools import reduce
 
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown mode {mode!r}")
     q_terms = sorted(set(query_terms))
-    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
     parts = []
     for field, boost in fields:
-        dl = doc_lengths(docs, id_col, field)
-        stats = corpus_stats(dl)
-        matched_tokens = corpus_tokens(docs, id_col, field).join(
-            F.broadcast(q), "term"
-        )
-        tf = matched_tokens.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        matched = (
-            tf.join(F.broadcast(dfreq), "term")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-        )
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        denom = F.col("tf") + F.lit(cfg.k1) * (
-            F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+        contribs = bm25_contribs(
+            spark, docs, q_terms, cfg=cfg, id_col=id_col, text_col=field
         )
         parts.append(
-            matched.select(
+            contribs.select(
                 "doc_id",
-                (F.lit(float(boost)) * idf * (F.col("tf") / denom)).alias(
-                    "contrib"
-                ),
+                F.lit(field).alias("field"),
+                (F.lit(float(boost)) * F.col("contrib")).alias("contrib"),
             )
         )
     allc = reduce(lambda a, b: a.unionByName(b), parts)
+    if mode == "most_fields":
+        per_doc = allc.groupBy("doc_id").agg(
+            F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score")
+        )
+    else:
+        per_field = allc.groupBy("doc_id", "field").agg(
+            F.sum("contrib").alias("fs")
+        )
+        per_doc = per_field.groupBy("doc_id").agg(
+            F.round(
+                F.max("fs")
+                + F.lit(float(tie_breaker)) * (F.sum("fs") - F.max("fs")),
+                SCORE_DECIMALS,
+            ).alias("score")
+        )
     return (
-        allc.groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        per_doc
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -809,11 +811,13 @@ def bm25_fields_oracle_sql(
     cfg: IndexConfig = DEFAULT_CONFIG,
     table: str = "documents",
     id_col: str = "doc_id",
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> str:
-    """SQL twin of bm25_topk_fields. `fields`: [(sql_expr, boost), ...] —
-    each sql_expr yields that field's text from a `table` row (e.g. 'text',
-    or a derived title expression), so the oracle re-derives synthetic
-    fields identically."""
+    """SQL twin of bm25_topk_fields (both modes). `fields`:
+    [(sql_expr, boost), ...] — each sql_expr yields that field's text from
+    a `table` row (e.g. 'text', or a derived title expression), so the
+    oracle re-derives synthetic fields identically."""
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
     blocks = []
     scored_names = []
@@ -839,10 +843,17 @@ f{i}_scored AS (
         scored_names.append(f"SELECT doc_id, c FROM f{i}_scored")
     union = " UNION ALL ".join(scored_names)
     ctes = ",".join(blocks)
+    if mode == "most_fields":
+        final = f"round(sum(c), {SCORE_DECIMALS})"
+    else:
+        final = (
+            f"round(max(c) + {float(tie_breaker)!r} * (sum(c) - max(c)), "
+            f"{SCORE_DECIMALS})"
+        )
     return f"""
 WITH q(term) AS (VALUES {terms_values}),{ctes},
 allc AS ({union})
-SELECT doc_id, round(sum(c), {SCORE_DECIMALS}) AS score
+SELECT doc_id, {final} AS score
 FROM allc GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}

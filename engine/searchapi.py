@@ -372,6 +372,117 @@ def more_like_this_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# boosting query (ES `boosting`: positive / negative / negative_boost)
+# ---------------------------------------------------------------------------
+
+
+def boosting_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    positive_terms: list[str],
+    negative_terms: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    cfg=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `boosting` query: docs are scored by the positive match; a doc
+    that ALSO matches the negative query keeps its rank but has its score
+    multiplied by `negative_boost` (demotion, not exclusion — the
+    difference from bool must_not).
+
+    Plan: the shared bm25_contribs relation summed per doc; the negative
+    membership set is a broadcast-semi-filtered distinct-id relation (only
+    negative-term occurrences move, exactly the must_not shape in
+    bm25_topk), left-joined as a flag; one top-k."""
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+    from engine.query import bm25_contribs, corpus_tokens
+
+    cfg = cfg or DEFAULT_CONFIG
+    per_doc = (
+        bm25_contribs(spark, docs, positive_terms, cfg=cfg,
+                      id_col=id_col, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("raw_score"))
+    )
+    negq = spark.createDataFrame(
+        [(t,) for t in sorted(set(negative_terms))], "term string"
+    )
+    neg_docs = (
+        corpus_tokens(docs, id_col, text_col)
+        .join(F.broadcast(negq), "term")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(1))
+    )
+    return (
+        per_doc.join(neg_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("raw_score")
+                * F.when(F.col("_neg").isNotNull(), F.lit(float(negative_boost)))
+                .otherwise(F.lit(1.0)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def boosting_oracle_sql(
+    positive_terms: list[str],
+    negative_terms: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+
+    cfg = DEFAULT_CONFIG
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    pos_values = ", ".join(f"('{t}')" for t in sorted(set(positive_terms)))
+    neg_in = ", ".join(f"'{t}'" for t in sorted(set(negative_terms)))
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+        ), dl AS (
+          SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+        ), q(term) AS (VALUES {pos_values}),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          SEMI JOIN q USING (term) GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+        ), neg AS (
+          SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_in})
+        ), scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                      * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))) ) AS raw_score
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id,
+               round(s.raw_score * CASE WHEN n.doc_id IS NOT NULL
+                     THEN {float(negative_boost)!r} ELSE 1.0 END,
+                     {SCORE_DECIMALS}) AS score
+        FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id
+        ORDER BY score DESC, s.doc_id ASC
+        LIMIT {int(k)}
+    """
+
+
+# ---------------------------------------------------------------------------
 # function_score (ES `function_score` with field_value_factor)
 # ---------------------------------------------------------------------------
 

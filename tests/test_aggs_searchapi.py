@@ -292,6 +292,51 @@ def test_function_score_reranks_by_factor(spark, docs_small):
                             modifier="bogus")
 
 
+def test_dismax_bounds_and_tiebreaker(spark, docs_small):
+    """best_fields lies between the best single field and most_fields:
+    tie_breaker=0 is max(field scores), 1.0 equals most_fields."""
+    from engine.query import bm25_topk_fields
+
+    docs = docs_small.withColumn(
+        "title", F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    )
+    fields = [("title", 2.0), ("text", 1.0)]
+    most = dict(_rows(bm25_topk_fields(spark, docs, TERMS, fields, k=300)))
+    dmax0 = dict(_rows(bm25_topk_fields(spark, docs, TERMS, fields, k=300,
+                                        mode="best_fields", tie_breaker=0.0)))
+    dmax1 = dict(_rows(bm25_topk_fields(spark, docs, TERMS, fields, k=300,
+                                        mode="best_fields", tie_breaker=1.0)))
+    shared = set(most) & set(dmax0) & set(dmax1)
+    assert len(shared) > 50
+    for did in shared:
+        assert dmax0[did] <= dmax1[did] + 1e-4
+        assert abs(dmax1[did] - most[did]) <= 2e-4  # tb=1 == most_fields
+    with pytest.raises(ValueError):
+        bm25_topk_fields(spark, docs, TERMS, fields, mode="bogus")
+
+
+def test_boosting_demotes_not_excludes(spark, docs_small):
+    from engine.query import bm25_topk
+    from engine.searchapi import boosting_query
+
+    neg = ["slow"]
+    # k > corpus size so both pages hold the FULL hit set (a smaller k
+    # would truncate the two differently-ordered lists to different sets)
+    plain = dict(_rows(bm25_topk(spark, docs_small, TERMS, k=1000)))
+    boosted = dict(_rows(boosting_query(
+        spark, docs_small, TERMS, neg, negative_boost=0.5, k=1000)))
+    assert set(plain) == set(boosted)  # demotion, never exclusion
+    from engine.analysis import tokens as tok
+    neg_ids = {r["doc_id"] for r in docs_small
+               .where(F.arrays_overlap(tok("text"), F.array(F.lit("slow"))))
+               .select("doc_id").collect()}
+    demoted = [d for d in plain if d in neg_ids]
+    assert demoted, "fixture needs at least one demoted doc"
+    for did in plain:
+        factor = 0.5 if did in neg_ids else 1.0
+        assert abs(boosted[did] - plain[did] * factor) <= 2e-4
+
+
 def test_term_suggest_modes(spark, docs_small):
     from engine.fuzzy import corpus_vocab_df, term_suggest
 

@@ -46,6 +46,17 @@ def main() -> None:
         "bm25_topk_fields": (
             [r"BroadcastHashJoin", r"TakeOrderedAndProject"], []
         ),
+        # dis_max / boosting: same bm25 shape (broadcast query set + stats,
+        # single top-k); boosting's negative set is a broadcast-able
+        # distinct-id relation, never a cartesian
+        "bm25_dismax": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        "boosting_query": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
         "bm25_topk_indexed": ([r"TakeOrderedAndProject"], []),
         # LSH candidate generation must stay a banded equi-join on
         # (band, bucket) — an all-pairs plan is the 100 TB melt-down this
