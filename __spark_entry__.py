@@ -731,6 +731,68 @@ def _q_percentiles_agg(spark, sf_dir):
     return percentiles_agg(_docs(spark, sf_dir), "n_chars")
 
 
+_COMPOSITE_AFTER = ("en", "src15")  # mid-bucket-space after_key
+_RANGES = [("short", None, 200), ("medium", 200, 400),
+           ("long", 400, None), ("broad", 150, 450)]
+
+
+def _q_top_hits_agg(spark, sf_dir):
+    """ES `terms` + `top_hits` sub-agg: per-bucket top-3 docs by n_chars.
+    The row_number<=k filter plans as WindowGroupLimit (map-side partial
+    top-k per bucket), so a hot bucket ships k rows per partition."""
+    from engine.aggs_bucket import top_hits_agg
+
+    return top_hits_agg(
+        _docs(spark, sf_dir), "lang", "n_chars", n_buckets=4, n_hits=3
+    )
+
+
+def _q_composite_agg(spark, sf_dir):
+    """ES `composite` agg: key-ordered (lang, source) buckets paged with an
+    after_key — the unbounded-cardinality answer to `terms`. The after-key
+    predicate is on grouping columns, so it pushes to the scan."""
+    from engine.aggs_bucket import composite_agg
+
+    return composite_agg(
+        _docs(spark, sf_dir), ["lang", "source"], size=12,
+        after=_COMPOSITE_AFTER,
+    )
+
+
+def _q_range_agg(spark, sf_dir):
+    """ES `range` agg ([from, to) buckets, overlap allowed — a doc counts
+    in EVERY matching range) with an avg sub-agg, empty buckets emitted."""
+    from engine.aggs_bucket import range_agg
+
+    return range_agg(_docs(spark, sf_dir), "n_chars", _RANGES,
+                     metric_col="n_chars")
+
+
+def _filters_spec():
+    return {
+        "english": ("lang = 'en'", lambda: F.col("lang") == "en"),
+        "mentions_spark": (
+            "contains(lower(coalesce(text, '')), 'spark')",
+            lambda: F.lower(F.coalesce(F.col("text"), F.lit(""))).contains(
+                "spark"
+            ),
+        ),
+        "short": ("n_chars < 200", lambda: F.col("n_chars") < 200),
+    }
+
+
+def _q_filters_agg(spark, sf_dir):
+    """ES `filters` agg: one named bucket per predicate, ALL predicates in
+    one scan (conditional counts in a single global aggregate, then a
+    literal unpivot of the 1-row result)."""
+    from engine.aggs_bucket import filters_agg
+
+    return filters_agg(
+        _docs(spark, sf_dir),
+        {n: col() for n, (_, col) in _filters_spec().items()},
+    )
+
+
 def _q_shard_doc_stats(spark, sf_dir):
     """ES `_stats`/`_cat/shards` shape: per-routing doc counts + total doc
     length folded from segment METADATA (routing_stats in stats.json) —
@@ -952,6 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_agg": _q_cardinality_agg,
         "histogram_agg": _q_histogram_agg,
         "percentiles_agg": _q_percentiles_agg,
+        "top_hits_agg": _q_top_hits_agg,
+        "composite_agg": _q_composite_agg,
+        "range_agg": _q_range_agg,
+        "filters_agg": _q_filters_agg,
         "shard_doc_stats": _q_shard_doc_stats,
         "sort_search_after": _q_sort_search_after,
         "mget_store": _q_mget_store,
@@ -1100,6 +1166,18 @@ def oracle_sql() -> dict[str, str]:
             "n_chars", 50, value_col="n_chars"
         ),
         "percentiles_agg": _ag().percentiles_agg_oracle_sql("n_chars"),
+        "top_hits_agg": _ab().top_hits_oracle_sql(
+            "lang", "n_chars", n_buckets=4, n_hits=3
+        ),
+        "composite_agg": _ab().composite_oracle_sql(
+            ["lang", "source"], size=12, after=_COMPOSITE_AFTER
+        ),
+        "range_agg": _ab().range_agg_oracle_sql(
+            "n_chars", _RANGES, metric_col="n_chars"
+        ),
+        "filters_agg": _ab().filters_oracle_sql(
+            {n: sql for n, (sql, _) in _filters_spec().items()}
+        ),
         # metadata-served per-routing stats must equal the full data scan
         "shard_doc_stats": _ag().routing_doc_counts_oracle_sql("lang"),
         "sort_search_after": _sa().sort_search_after_oracle_sql(
@@ -1250,6 +1328,12 @@ def _ag():
     from engine import aggs
 
     return aggs
+
+
+def _ab():
+    from engine import aggs_bucket
+
+    return aggs_bucket
 
 
 def _sa():

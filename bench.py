@@ -48,6 +48,7 @@ def main() -> None:
         "function_score",
         "terms_agg", "date_histogram_agg", "histogram_agg", "percentiles_agg",
         "stats_agg", "cardinality_agg",
+        "top_hits_agg", "composite_agg", "range_agg", "filters_agg",
         "shard_doc_stats", "sort_search_after", "mget_store",
         "count_query_store", "highlight_snippets",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
