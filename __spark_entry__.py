@@ -179,6 +179,30 @@ def _q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_phrase_topk(spark, _docs(spark, sf_dir), _PHRASE, k=20)
 
 
+# match_phrase_prefix: fixed word + prefix, bounded expansion set
+_PHRASE_PREFIX = ["table", "ha"]
+
+
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: last word is a prefix expanded to at most
+    max_expansions index terms in term-dict order (the autocomplete query).
+    Output (doc_id, pptf) occurrence counts."""
+    from engine.phrase import phrase_prefix_freqs
+
+    return phrase_prefix_freqs(
+        spark, _docs(spark, sf_dir), _PHRASE_PREFIX, max_expansions=10
+    )
+
+
+def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: per-document minimum_should_match read from a
+    field (required = least(3, greatest(1, floor(n_chars/150)))) — BM25
+    top-k over docs meeting their own threshold."""
+    from engine.searchapi import terms_set_topk
+
+    return terms_set_topk(spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, k=20)
+
+
 _PHRASE_STORE_CACHE: dict = {}
 
 
@@ -974,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": _q_boosting_query,
         "phrase_freqs": _q_phrase_freqs,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
+        "phrase_prefix_match": _q_phrase_prefix,
+        "terms_set_query": _q_terms_set,
         "bm25_phrase_store": _q_bm25_phrase_store,
         "prefix_match": _q_prefix_match,
         "prefix_search_store": _q_prefix_search_store,
@@ -1062,6 +1088,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_freqs": _phr().phrase_freq_oracle_sql(_PHRASE),
         "bm25_phrase_topk": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
+        "phrase_prefix_match": _phr().phrase_prefix_oracle_sql(
+            _PHRASE_PREFIX, max_expansions=10
+        ),
+        "terms_set_query": _sa().terms_set_oracle_sql(FLAGSHIP_TERMS, k=20),
         "bm25_phrase_store": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
         "prefix_match": _pfx().prefix_oracle_sql(_PREFIX, k=25),
         "prefix_search_store": _pfx().prefix_oracle_sql(_PREFIX, k=25),

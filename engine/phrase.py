@@ -249,3 +249,105 @@ WHERE p.ptf > 0
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix (ES): phrase whose LAST position is a prefix
+# ---------------------------------------------------------------------------
+
+
+def phrase_prefix_freqs(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrase: list[str],
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `match_phrase_prefix`: the phrase's last word is a PREFIX; the
+    query matches docs where the fixed words are followed (adjacently, in
+    order) by any term starting with it. Output: (doc_id, pptf) with pptf =
+    number of such occurrences, >= 1.
+
+    ES semantics kept: the prefix expands to at most `max_expansions`
+    distinct index terms in term-dictionary (lexicographic) order — a doc
+    whose completion falls outside the expansion set does NOT match
+    (documented ES behavior, the autocomplete use case).
+
+    Scale shape: the expansion set is a distinct-terms aggregate FILTERED
+    BY the prefix before the shuffle (startswith pushes to the scan as a
+    range predicate on a term dictionary; here a filter on the exploded
+    stream), then TakeOrdered(max_expansions) and broadcast. The
+    positional vote join is the same one-shuffle base-normalization as
+    phrase_frequencies — only tokens matching a slot survive to shuffle.
+    """
+    n = len(phrase)
+    if n < 2:
+        raise ValueError("match_phrase_prefix needs >= 1 fixed word + prefix")
+    fixed, prefix = phrase[:-1], phrase[-1]
+    pos = token_positions(docs, id_col, text_col)
+
+    expansions = (
+        pos.select("term")
+        .where(F.col("term").startswith(prefix))
+        .distinct()
+        .orderBy("term")
+        .limit(max_expansions)
+    )
+
+    slots = _phrase_slots(spark, fixed)
+    fixed_votes = pos.join(F.broadcast(slots), "term").select(
+        "doc_id", (F.col("pos") - F.col("pidx")).alias("base"), "pidx"
+    )
+    last_votes = pos.join(F.broadcast(expansions), "term").select(
+        "doc_id",
+        (F.col("pos") - F.lit(n - 1)).alias("base"),
+        F.lit(n - 1).alias("pidx"),
+    )
+    # no distinct needed: (doc_id, base, pidx) is unique per stream (base =
+    # pos - pidx and (doc_id, pos) is unique) and the streams carry
+    # disjoint pidx values (fixed < n-1, last = n-1) — union adds no dups.
+    votes = fixed_votes.unionByName(last_votes)
+    occurrences = (
+        votes.groupBy("doc_id", "base")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .where((F.col("n_slots") == F.lit(n)) & (F.col("base") >= 0))
+    )
+    return occurrences.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("pptf")
+    )
+
+
+def phrase_prefix_oracle_sql(
+    phrase: list[str],
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    n = len(phrase)
+    fixed, prefix = phrase[:-1], phrase[-1]
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
+    conds = " AND ".join(
+        [
+            (f"t[i+{j}] = {_sql_quote(w)}" if j else f"t[i] = {_sql_quote(w)}")
+            for j, w in enumerate(fixed)
+        ]
+        + [f"list_contains(e.el, t[i+{n - 1}])"]
+    )
+    like = _sql_quote(prefix.replace("%", "\\%").replace("_", "\\_") + "%")
+    return f"""
+WITH exp AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest({toks}) AS term FROM {table}
+  ) WHERE term LIKE {like} ESCAPE '\\'
+  ORDER BY term LIMIT {max_expansions}
+), e AS (
+  SELECT coalesce(list(term ORDER BY term), []) AS el FROM exp
+), ptf AS (
+  SELECT doc_id, CAST(len(list_filter(range(1, len(t) - {n} + 2),
+         i -> {conds})) AS BIGINT) AS pptf
+  FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}) CROSS JOIN e
+)
+SELECT doc_id, pptf FROM ptf WHERE pptf > 0
+"""

@@ -667,3 +667,123 @@ def highlight_oracle_sql(
                END AS fragment
         FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# terms_set query (ES): per-document dynamic minimum_should_match
+# ---------------------------------------------------------------------------
+
+
+def terms_set_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    msm_divisor: int = 150,
+    msm_cap: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `terms_set` query: a doc matches when the number of DISTINCT
+    query terms it contains is >= a PER-DOCUMENT minimum read from a field
+    (`minimum_should_match_field`) — the part plain bool/minimum_should_match
+    cannot express. Here the per-doc minimum is derived from the doc's
+    length field the way a real mapping would store it:
+
+        required(d) = least(msm_cap, greatest(1, floor(n_chars / msm_divisor)))
+
+    Matching docs are BM25-scored over their matched terms (same shared
+    `bm25_contribs` relation as bm25_topk/_explain — one formula tree).
+    Returns (doc_id, score) top-k by (score desc, doc_id asc).
+
+    Scale shape: contribs is already broadcast-semi-filtered to the query
+    terms; the per-doc aggregate adds (matched_count) to the same groupBy
+    that sums the score — no extra shuffle. The required-value relation is
+    a column projection of the doc table joined on doc_id; only docs
+    matching >= 1 term reach that join (AQE broadcasts the small side).
+    """
+    from engine.config import SCORE_DECIMALS
+    from engine.query import bm25_contribs
+
+    contribs = bm25_contribs(spark, docs, query_terms,
+                             id_col=id_col, text_col=text_col)
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.sum("contrib").alias("raw_score"),
+        F.countDistinct("term").alias("matched"),
+    )
+    required = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.least(
+            F.lit(msm_cap),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.col("n_chars") / F.lit(float(msm_divisor))),
+            ),
+        ).alias("required"),
+    )
+    return (
+        per_doc.join(required, "doc_id")
+        .where(F.col("matched") >= F.col("required"))
+        .select(
+            "doc_id",
+            F.round("raw_score", SCORE_DECIMALS).alias("score"),
+            F.col("matched").cast("long").alias("matched"),
+            F.col("required").cast("long").alias("required"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def terms_set_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    msm_divisor: int = 150,
+    msm_cap: int = 3,
+    cfg=None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+
+    cfg = cfg or DEFAULT_CONFIG
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), dl AS (
+  SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+), q(term) AS (
+  VALUES {terms_values}
+), req AS (
+  SELECT {id_col} AS doc_id,
+         least({msm_cap}, greatest(1,
+               CAST(floor(n_chars / {float(msm_divisor)}) AS BIGINT))) AS required
+  FROM {table}
+), scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))) ) AS raw_score,
+         count(DISTINCT tf.term) AS matched
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.raw_score, {SCORE_DECIMALS}) AS score,
+       s.matched, r.required
+FROM scored s JOIN req r USING (doc_id)
+WHERE s.matched >= r.required
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,91 @@
+"""match_phrase_prefix (engine/phrase.py) and terms_set (engine/searchapi.py).
+
+Oracle parity plus the semantics that distinguish them: the prefix
+expansion cap excludes completions outside the top-max_expansions terms,
+and terms_set enforces a PER-DOC minimum (not a global one).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+TERMS = ["spark", "vector", "merge", "table"]
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _norm(rows):
+    return sorted(tuple(repr(v) for v in r) for r in rows)
+
+
+def test_phrase_prefix_matches_oracle(spark, docs_small):
+    from engine.phrase import phrase_prefix_freqs, phrase_prefix_oracle_sql
+
+    got = [tuple(r) for r in
+           phrase_prefix_freqs(spark, docs_small, ["table", "ha"],
+                               max_expansions=10).collect()]
+    want = _duck(SF_SMOKE,
+                 phrase_prefix_oracle_sql(["table", "ha"], max_expansions=10))
+    assert _norm(got) == _norm(want)
+    assert len(got) > 0
+
+
+def test_phrase_prefix_is_superset_of_exact_phrase(spark, docs_small):
+    from engine.phrase import phrase_frequencies, phrase_prefix_freqs
+
+    exact = {r["doc_id"]: r["ptf"] for r in
+             phrase_frequencies(spark, docs_small, ["table", "hash"]).collect()}
+    pref = {r["doc_id"]: r["pptf"] for r in
+            phrase_prefix_freqs(spark, docs_small, ["table", "ha"],
+                                max_expansions=50).collect()}
+    # every exact "table hash" occurrence is a "table ha*" occurrence
+    assert set(exact) <= set(pref)
+    assert all(pref[d] >= exact[d] for d in exact)
+
+
+def test_phrase_prefix_expansion_cap_excludes_terms(spark, docs_small):
+    from engine.phrase import phrase_prefix_freqs
+
+    # with a cap of 1, only the lexicographically-first completion counts;
+    # docs matching only via later completions drop out (ES max_expansions)
+    full = {r["doc_id"] for r in
+            phrase_prefix_freqs(spark, docs_small, ["the", "s"],
+                                max_expansions=1000).collect()}
+    capped = {r["doc_id"] for r in
+              phrase_prefix_freqs(spark, docs_small, ["the", "s"],
+                                  max_expansions=1).collect()}
+    assert capped <= full
+    assert len(capped) < len(full)  # the cap actually bites on "the s*"
+
+
+def test_terms_set_matches_oracle(spark, docs_small):
+    from engine.searchapi import terms_set_oracle_sql, terms_set_topk
+
+    got = [tuple(r) for r in
+           terms_set_topk(spark, docs_small, TERMS, k=20).collect()]
+    want = _duck(SF_SMOKE, terms_set_oracle_sql(TERMS, k=20))
+    assert _norm(got) == _norm(want)
+
+
+def test_terms_set_minimum_is_per_document(spark, docs_small):
+    from engine.searchapi import terms_set_topk
+
+    rows = terms_set_topk(spark, docs_small, TERMS, k=1000).collect()
+    assert all(r["matched"] >= r["required"] for r in rows)
+    # the per-doc thresholds actually vary across returned docs (a global
+    # minimum_should_match could not produce this)
+    assert len({r["required"] for r in rows}) > 1
+    # and the dynamic threshold excludes docs a required=1 floor would keep
+    floor1 = terms_set_topk(spark, docs_small, TERMS, k=1000,
+                            msm_divisor=10**9).collect()
+    assert len(floor1) > len(rows)
