@@ -434,7 +434,7 @@ def _shared_store(spark: SparkSession, sf_dir: str):
     from engine.merge import merge_segments
     from engine.segments import IndexStore
 
-    cfg = IndexConfig(routing_col="lang")
+    cfg = IndexConfig(routing_col="lang", store_source=True)
     docs = _docs(spark, sf_dir)
     n = docs.count()
     src = as_partitioned_source(
@@ -467,6 +467,47 @@ def _q_bm25_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _shared_store(spark, sf_dir)
     hits = search_store_wand(spark, store, FLAGSHIP_TERMS, k=20)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+_REINDEX_CACHE: dict = {}
+
+
+def _reindexed_store(spark: SparkSession, sf_dir: str):
+    """ES `_reindex`: copy the shared store (varint, routed by lang,
+    source-enabled) into a fresh index with DESTINATION settings — pfor
+    codec, unrouted — from its stored `_source` alone. Cached per sf_dir
+    like the source store."""
+    if sf_dir in _REINDEX_CACHE:
+        return _REINDEX_CACHE[sf_dir]
+    import tempfile
+
+    from engine.config import IndexConfig
+    from engine.reindex import reindex
+    from engine.segments import IndexStore
+
+    src = _shared_store(spark, sf_dir)
+    dst_cfg = IndexConfig(codec="pfor")
+    root = tempfile.mkdtemp(prefix="sparkgraft_reindex_")
+    dst = IndexStore(root, "docs_idx_v2", cfg=dst_cfg).create()
+    reindex(spark, src, dst, cfg=dst_cfg)
+    _REINDEX_CACHE[sf_dir] = dst
+    return dst
+
+
+def _q_reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the REINDEXED store (new codec, built purely from the source
+    store's stored _source): results must be rank- and score-identical to
+    the raw-corpus BM25 oracle — the end-to-end reindex correctness check."""
+    from engine.query import search_store
+
+    store = _reindexed_store(spark, sf_dir)
+    hits = search_store(spark, store, FLAGSHIP_TERMS, k=20)
     return (
         hits.withColumnRenamed("doc_id", "store_doc_id")
         .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
@@ -1012,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search_store": _q_wildcard_search_store,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
+        "reindex_search": _q_reindex_search,
         "upsert_last_wins": _q_upsert_last_wins,
         "postings_roundtrip": _q_postings_roundtrip,
         "postings_roundtrip_pfor": _q_postings_roundtrip_pfor,
@@ -1131,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_indexed": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
         "bm25_topk_wand": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
         "bm25_topk_store": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        # reindexed store (new codec, rebuilt from stored _source) must
+        # answer identically to the raw corpus
+        "reindex_search": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
         "upsert_last_wins": """
             SELECT user_id,
                    event_id AS last_event_id,

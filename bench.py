@@ -34,7 +34,8 @@ def main() -> None:
         "term_frequencies", "doc_lengths", "doc_frequencies", "corpus_stats",
         "bm25_topk", "bm25_topk_fields", "bm25_dismax", "boosting_query",
         "bm25_topk_conjunctive", "bm25_topk_wand",
-        "bm25_topk_store", "postings_roundtrip", "postings_roundtrip_pfor",
+        "bm25_topk_store", "reindex_search",
+        "postings_roundtrip", "postings_roundtrip_pfor",
         "bm25_topk_indexed",
         "phrase_freqs", "bm25_phrase_topk", "bm25_phrase_store",
         "prefix_match", "prefix_search_store",

@@ -49,6 +49,14 @@ class IndexConfig:
     # Lucene positions-vs-docs-only mapping tradeoff).
     store_positions: bool = False
 
+    # Opt-in stored `_source` (ES keeps it by default): the per-segment doc
+    # table additionally carries the extracted text, which is what the ES
+    # `_reindex` API reads — a store built with store_source=True can be
+    # reindexed into a new store (new codec/routing/analyzer) without the
+    # original corpus (engine/reindex.py). Off by default here because the
+    # doc table is otherwise metadata-sized.
+    store_source: bool = False
+
     # Micro-ingest batch sizing (reference: 1 MiB/partition poll bound,
     # jobs/ConsumerManager.java:52-55). We bound by rows.
     rows_per_batch: int = 100_000

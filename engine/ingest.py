@@ -436,6 +436,11 @@ def _process_window_body(
             F.col("n_tokens").cast("long").alias("doc_len"),
             F.col("warc_ts"), F.col("lang"), F.col("part_id"), F.col("row_offset"),
         ]
+        if cfg.store_source:
+            # ES `_source`: the doc table keeps the extracted text, making
+            # the store reindexable (engine/reindex.py) and mget able to
+            # return bodies. Merge preserves it (live rows keep all columns).
+            doc_cols.append(F.col("extracted_text").alias("source"))
         if routed:
             doc_cols.append(F.col(cfg.routing_col).cast("string").alias("routing"))
         doc_table = docs_ided.select(*doc_cols)

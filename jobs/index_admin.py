@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     pca.add_argument("--alias", required=True)
     pca.add_argument("--filter", default=None, help="col=value term filter (S11)")
     pca.add_argument("--routing", default=None)
+    pr = sub.add_parser(
+        "reindex",
+        help="ES _reindex: rebuild --index's docs into --dest from stored "
+             "_source, destination settings (codec/routing) win",
+    )
+    add_common(pr, creates=True)
+    pr.add_argument("--dest", required=True)
+    pr.add_argument("--routing-col", default=None,
+                    help="destination routing column (None = unrouted)")
     add_common(sub.add_parser("list"), need_index=False)
     add_common(sub.add_parser("stats"))
     args = ap.parse_args(argv)
@@ -90,6 +99,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from engine.config import IndexConfig
+
+    if args.cmd == "reindex":
+        from engine.reindex import reindex
+        from engine.session import get_spark
+
+        src = IndexStore(args.index_root, args.index)
+        if not src.exists():
+            print(json.dumps({"error": f"index {args.index} does not exist"}))
+            return 1
+        dst_cfg = IndexConfig(codec=args.codec, routing_col=args.routing_col,
+                              store_source=True)
+        dst = IndexStore(args.index_root, args.dest, cfg=dst_cfg)
+        if dst.exists():
+            print(json.dumps({"error": f"dest {args.dest} already exists"}))
+            return 1
+        dst.create()
+        spark = get_spark("reindex")
+        res = reindex(spark, src, dst, cfg=dst_cfg)
+        print(json.dumps({
+            "source": args.index, "dest": args.dest, "codec": args.codec,
+            "n_docs": res.n_docs if res else 0,
+            "segment": res.segment_id if res else None,
+        }))
+        return 0
 
     codec = args.codec if args.cmd in ("create", "create-and-alias") else "varint"
     store = IndexStore(args.index_root, args.index, cfg=IndexConfig(codec=codec))
