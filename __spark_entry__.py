@@ -717,6 +717,18 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return _ANN_CACHE[sf_dir].topk(spark, _ann_query_vec(), k=15, n_probes=12)
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (second ANN family next to LSH): md5-sampled centroids,
+    map-side max_by nearest-centroid assignment, n_probes-cell pruning,
+    exact re-rank inside probed cells. Whole pipeline (centroids ->
+    assignment -> probe -> re-rank) regenerates in the DuckDB oracle."""
+    from engine.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _emb(spark, sf_dir), _ann_query_vec(), k=15, n_cells=16, n_probes=4
+    )
+
+
 def _q_resize_plan(spark, sf_dir):
     """Multimodal metadata op (REAL logic, JVM-side): aspect-preserving
     resize targets over the deterministic media table. The decode-requiring
@@ -1069,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "function_score": _q_function_score,
         "term_suggest": _q_term_suggest,
         "term_suggest_store": _q_term_suggest_store,
@@ -1205,6 +1218,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _dd().simhash_oracle_sql(max_hamming=10),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
+        ),
+        "ivf_ann_topk": _sim().ivf_ann_topk_oracle_sql(
+            _ann_query_vec(), k=15, n_cells=16, n_probes=4
         ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),

@@ -292,3 +292,167 @@ SELECT vec_id, round(dot / (greatest(nrm, 1e-12) * {qn!r}), {SCORE_DECIMALS}) AS
 FROM b WHERE bucket IN ({in_list})
 ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(
+    df: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic centroid sample: the n_cells vectors ranked first by
+    md5(vec_id) — a seedless pseudo-random draw both engines compute
+    bit-identically (md5 is the cross-engine hash bridge, SURVEY §7.2e).
+    Real IVF runs a few k-means rounds over this init; the sampled init is
+    kept as the frozen contract so the oracle can regenerate it in SQL."""
+    return (
+        df.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cell_id").cast("string")), F.col("cell_id"))
+        .limit(n_cells)
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest of n_cells centroids
+    (cosine, rounded to SCORE_DECIMALS, cell-id tie-break), probe the
+    n_probes cells whose centroids are closest to the query, exact-cosine
+    re-rank inside the probed cells only.
+
+    The second ANN family next to the LSH path (ann_lsh_topk): LSH buckets
+    by random projection, IVF by data-adaptive coarse quantization — the
+    IVF/Faiss shape. 100 TB shape:
+      - assignment is a broadcast of n_cells centroids + a map-side
+        max_by aggregate (partial combine: each partition emits one
+        candidate row per vec_id — never a window sort);
+      - probe selection is driver-side over the collected centroids
+        (n_cells rows, not data);
+      - only vectors in probed cells (~n_probes/n_cells of the corpus)
+        reach the exact re-rank, which is pure JVM column math;
+      - the persisted variant hive-partitions vectors by cell_id so a
+        probe reads n_probes partitions, exactly like AnnIndex's
+        bucket_grp pruning.
+    """
+    if not (1 <= n_probes <= n_cells):
+        raise ValueError("need 1 <= n_probes <= n_cells")
+    cents = _ivf_centroids(df, n_cells, id_col, vec_col)
+    crows = cents.collect()
+
+    # driver-side probe selection: same rounded-cosine + id tie-break math
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+
+    def _cos(vec) -> float:
+        d = sum(float(a) * float(b) for a, b in zip(vec, query_vec))
+        n = math.sqrt(sum(float(a) * float(a) for a in vec))
+        return round(d / (max(n, 1e-12) * qn), SCORE_DECIMALS)
+
+    probed = [
+        r["cell_id"]
+        for r in sorted(crows, key=lambda r: (-_cos(r["cv"]), r["cell_id"]))
+    ][:n_probes]
+
+    ccos = _dot(F.col(vec_col), F.col("cv")) / (
+        F.greatest(_norm(F.col(vec_col)) * _norm(F.col("cv")), F.lit(1e-12))
+    )
+    # nearest-centroid assignment via max_by over (rounded cos, -cell_id):
+    # a strict total order per vector (cell ids are distinct), so the
+    # argmax is deterministic and matches the oracle's window tie-break
+    assigned = (
+        df.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("cell_id"),
+            F.round(ccos, SCORE_DECIMALS).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("ccos"), (-F.col("cell_id")))
+            ).alias("cell_id")
+        )
+    )
+    in_probed = assigned.where(
+        F.col("cell_id").isin([int(c) for c in probed])
+    ).select("vec_id")
+    candidates = df.join(
+        in_probed, df[id_col] == in_probed["vec_id"], "left_semi"
+    )
+    qcos = _dot(F.col(vec_col), _qvec(query_vec)) / (
+        F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)) * F.lit(qn)
+    )
+    return (
+        candidates.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(qcos, SCORE_DECIMALS).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ivf_ann_topk_oracle_sql(
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probes: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Full SQL twin: centroid sampling (md5 order), assignment (rounded
+    cosine, window tie-break), probe selection AND re-rank all regenerate
+    in DuckDB — nothing inlined from the data, so the driver value-hash is
+    a strong end-to-end check of the IVF partition function itself."""
+    q = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]::DOUBLE[]"
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cell_id, {vec_col}::DOUBLE[] AS cv
+  FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+  LIMIT {n_cells}
+), cn AS (
+  SELECT cell_id, cv,
+         sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+  FROM cents
+), probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id,
+           round(list_dot_product(cv, {q}) / (greatest(cnrm, 1e-12) * {qn!r}),
+                 {SCORE_DECIMALS}) AS pc
+    FROM cn ORDER BY pc DESC, cell_id ASC LIMIT {n_probes}
+  )
+), v AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS ev,
+         sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x*x))) AS vnrm
+  FROM {table}
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, cn.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.ev, cn.cv)
+                            / greatest(v.vnrm * cn.cnrm, 1e-12),
+                            {SCORE_DECIMALS}) DESC,
+                      cn.cell_id ASC) AS rn
+    FROM v CROSS JOIN cn
+  ) WHERE rn = 1
+)
+SELECT v.vec_id,
+       round(list_dot_product(v.ev, {q}) / (greatest(v.vnrm, 1e-12) * {qn!r}),
+             {SCORE_DECIMALS}) AS cosine
+FROM v
+JOIN assign USING (vec_id)
+JOIN probe USING (cell_id)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""

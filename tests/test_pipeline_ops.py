@@ -201,3 +201,39 @@ def test_ann_lsh_recall_on_planted_cluster(spark):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.7, (recall, exact, approx)
+
+
+def test_ivf_ann_vs_oracle(spark, embeddings):
+    from engine.similarity import ivf_ann_topk, ivf_ann_topk_oracle_sql
+
+    q = _qvec()
+    _cmp(
+        ivf_ann_topk(embeddings, q, k=15, n_cells=16, n_probes=4),
+        ivf_ann_topk_oracle_sql(q, k=15, n_cells=16, n_probes=4),
+    )
+
+
+def test_ivf_full_probe_equals_exact(spark, embeddings):
+    """n_probes == n_cells degrades IVF to brute force: every cell is
+    probed, so the result must equal exact cosine_topk."""
+    from engine.similarity import ivf_ann_topk
+
+    q = _qvec()
+    exact = [tuple(r) for r in cosine_topk(embeddings, q, k=10).collect()]
+    full = [tuple(r) for r in
+            ivf_ann_topk(embeddings, q, k=10, n_cells=8, n_probes=8).collect()]
+    assert exact == full
+
+
+def test_ivf_prunes_and_guards(spark, embeddings):
+    from engine.similarity import ivf_ann_topk
+
+    q = _qvec()
+    # pruned probe returns a subset of the corpus ranked identically to
+    # exact cosine WITHIN the probed cells (scores are exact, not approx)
+    pruned = ivf_ann_topk(embeddings, q, k=1000, n_cells=16, n_probes=2)
+    n_pruned = pruned.count()
+    n_all = embeddings.count()
+    assert 0 < n_pruned < n_all  # ~2/16 of the corpus reaches re-rank
+    with pytest.raises(ValueError):
+        ivf_ann_topk(embeddings, q, n_cells=8, n_probes=9)
