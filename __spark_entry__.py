@@ -516,6 +516,36 @@ def _q_reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_CACHE: dict = {}
+
+
+def _q_snapshot_restore_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _snapshot -> _restore round-trip: the restored index (file-level
+    copy of immutable segments + synthetic ledger, engine/snapshot.py) must
+    answer the flagship query identically to the raw-corpus oracle."""
+    from engine.query import search_store
+
+    if sf_dir not in _SNAPSHOT_CACHE:
+        import tempfile
+
+        from engine.snapshot import restore, snapshot
+
+        src = _shared_store(spark, sf_dir)
+        repo = tempfile.mkdtemp(prefix="sparkgraft_snaprepo_")
+        snapshot(src, repo, "bench")
+        _SNAPSHOT_CACHE[sf_dir] = restore(
+            repo, "bench", tempfile.mkdtemp(prefix="sparkgraft_restored_")
+        )
+    store = _SNAPSHOT_CACHE[sf_dir]
+    hits = search_store(spark, store, FLAGSHIP_TERMS, k=20)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
 def _q_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 routing-aware placement: search ONE routing partition (lang=en).
     The postings/docs scans prune to routing=en files (PartitionFilters in
@@ -870,6 +900,26 @@ def _q_filters_agg(spark, sf_dir):
     )
 
 
+_ANALYZE_TEXT = "Spark-Graft's Block-Max WAND: 2 engines, 1 contract?"
+_TERMVEC_IDS = [3, 42, 123]
+
+
+def _q_analyze(spark, sf_dir):
+    """ES _analyze: token stream of a literal text through the SAME JVM
+    tokenizer column the indexer uses (frozen contract)."""
+    from engine.searchapi import analyze_text
+
+    return analyze_text(spark, _ANALYZE_TEXT)
+
+
+def _q_term_vectors(spark, sf_dir):
+    """ES _termvectors with term_statistics: per-doc (term, tf, df, ttf);
+    corpus-wide stats computed only for the requested docs' terms."""
+    from engine.searchapi import term_vectors
+
+    return term_vectors(spark, _docs(spark, sf_dir), _TERMVEC_IDS)
+
+
 def _q_shard_doc_stats(spark, sf_dir):
     """ES `_stats`/`_cat/shards` shape: per-routing doc counts + total doc
     length folded from segment METADATA (routing_stats in stats.json) —
@@ -1066,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
         "reindex_search": _q_reindex_search,
+        "snapshot_restore_search": _q_snapshot_restore_search,
         "upsert_last_wins": _q_upsert_last_wins,
         "postings_roundtrip": _q_postings_roundtrip,
         "postings_roundtrip_pfor": _q_postings_roundtrip_pfor,
@@ -1101,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": _q_filters_agg,
         "shard_doc_stats": _q_shard_doc_stats,
         "sort_search_after": _q_sort_search_after,
+        "analyze_text": _q_analyze,
+        "term_vectors": _q_term_vectors,
         "mget_store": _q_mget_store,
         "count_query_store": _q_count_query_store,
         "highlight_snippets": _q_highlight,
@@ -1189,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         # reindexed store (new codec, rebuilt from stored _source) must
         # answer identically to the raw corpus
         "reindex_search": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
+        # restored-from-snapshot store must answer identically too
+        "snapshot_restore_search": bm25_topk_oracle_sql(FLAGSHIP_TERMS, k=20),
         "upsert_last_wins": """
             SELECT user_id,
                    event_id AS last_event_id,
@@ -1271,6 +1326,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # metadata-served per-routing stats must equal the full data scan
         "shard_doc_stats": _ag().routing_doc_counts_oracle_sql("lang"),
+        "analyze_text": _sa().analyze_oracle_sql(_ANALYZE_TEXT),
+        "term_vectors": _sa().term_vectors_oracle_sql(_TERMVEC_IDS),
         "sort_search_after": _sa().sort_search_after_oracle_sql(
             "n_chars", after=_SORT_AFTER, k=20
         ),

@@ -34,7 +34,7 @@ def main() -> None:
         "term_frequencies", "doc_lengths", "doc_frequencies", "corpus_stats",
         "bm25_topk", "bm25_topk_fields", "bm25_dismax", "boosting_query",
         "bm25_topk_conjunctive", "bm25_topk_wand",
-        "bm25_topk_store", "reindex_search",
+        "bm25_topk_store", "reindex_search", "snapshot_restore_search",
         "postings_roundtrip", "postings_roundtrip_pfor",
         "bm25_topk_indexed",
         "phrase_freqs", "bm25_phrase_topk", "bm25_phrase_store",
@@ -53,7 +53,7 @@ def main() -> None:
         "stats_agg", "cardinality_agg",
         "top_hits_agg", "composite_agg", "range_agg", "filters_agg",
         "shard_doc_stats", "sort_search_after", "mget_store",
-        "count_query_store", "highlight_snippets",
+        "count_query_store", "highlight_snippets", "analyze_text", "term_vectors",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
         "routed_search", "alias_routed_search", "multi_index_fanout",
         "resize_plan", "image_features", "frame_sample",

@@ -787,3 +787,108 @@ WHERE s.matched >= r.required
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# _analyze (ES): show how the analyzer tokenizes a given text
+# ---------------------------------------------------------------------------
+
+
+def analyze_text(spark: SparkSession, text: str) -> DataFrame:
+    """ES `POST /_analyze {"analyzer": "standard", "text": ...}`: the
+    token stream the engine's frozen analyzer contract (TOKEN_PATTERN +
+    lowercase, tests/test_tokenizer_contract.py) produces for `text`,
+    as (position, token) rows — the debugging endpoint every ES user hits
+    when a match query surprises them.
+
+    Driver-size input, but evaluated through the SAME JVM `tokens` column
+    the indexer uses — not a Python reimplementation — so the endpoint
+    certifies the production tokenizer."""
+    from engine.analysis import tokens
+
+    one = spark.createDataFrame([(text,)], "text string")
+    return one.select(
+        F.posexplode(tokens("text")).alias("position", "token")
+    ).select(F.col("position").cast("long").alias("position"), "token")
+
+
+def analyze_oracle_sql(text: str) -> str:
+    lit = "'" + text.replace("'", "''") + "'"
+    return f"""
+SELECT CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS position,
+       unnest(t) AS token
+FROM (SELECT regexp_extract_all(lower({lit}), '{TOKEN_PATTERN}') AS t)
+"""
+
+
+# ---------------------------------------------------------------------------
+# _termvectors (ES): per-document term statistics
+# ---------------------------------------------------------------------------
+
+
+def term_vectors(
+    spark: SparkSession,
+    docs: DataFrame,
+    doc_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `GET /{index}/_termvectors/{id}?term_statistics=true`: for each
+    requested doc, its terms with tf (term freq in the doc), df (docs in
+    the index containing the term) and ttf (total term freq across the
+    index). Output: (doc_id, term, tf, df, ttf).
+
+    Scale shape: tf for the requested docs only (pushed IN(doc_id) filter
+    -> tokenize just those rows); df/ttf are per-term aggregates computed
+    ONLY for the requested docs' terms (semi-filtered by a broadcast of
+    that term set before the corpus-wide groupBy — identical values to the
+    full dictionary for those terms, never the whole dictionary shuffled)."""
+    from engine.analysis import tokens
+
+    wanted = [int(d) for d in doc_ids]
+    corpus = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    req_tf = (
+        corpus.where(F.col("doc_id").isin(wanted))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    req_terms = req_tf.select("term").distinct()
+    stats = (
+        corpus.join(F.broadcast(req_terms), "term")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("ttf"),
+        )
+    )
+    return req_tf.join(F.broadcast(stats), "term").select(
+        "doc_id", "term", "tf", "df", "ttf"
+    )
+
+
+def term_vectors_oracle_sql(
+    doc_ids: list[int],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+WITH corpus AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), req_tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM corpus WHERE doc_id IN ({ids})
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM corpus
+  WHERE term IN (SELECT DISTINCT term FROM req_tf)
+  GROUP BY term
+)
+SELECT r.doc_id, r.term, r.tf, s.df, s.ttf
+FROM req_tf r JOIN stats s USING (term)
+"""

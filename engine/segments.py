@@ -70,7 +70,7 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 @dataclass
 class LedgerEntry:
     entry_id: int
-    kind: str  # "ingest" | "merge"
+    kind: str  # "ingest" | "merge" | "restore" (engine/snapshot.py)
     segments_added: list[str]
     segments_removed: list[str] = field(default_factory=list)
     # per-partition committed high-water marks (reference offset semantics)

@@ -87,6 +87,20 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--dest", required=True)
     pr.add_argument("--routing-col", default=None,
                     help="destination routing column (None = unrouted)")
+    ps = sub.add_parser("snapshot", help="ES _snapshot: incremental copy of "
+                                         "live segments into a repository")
+    add_common(ps)
+    ps.add_argument("--repo", required=True)
+    ps.add_argument("--snapshot", required=True)
+    pre = sub.add_parser("restore", help="ES _restore: materialize a snapshot "
+                                         "as a NEW index, offsets replayed")
+    add_common(pre, need_index=False)
+    pre.add_argument("--repo", required=True)
+    pre.add_argument("--snapshot", required=True)
+    pre.add_argument("--target", default=None,
+                     help="restored index name (default: snapshotted name)")
+    pls = sub.add_parser("list-snapshots")
+    pls.add_argument("--repo", required=True)
     add_common(sub.add_parser("list"), need_index=False)
     add_common(sub.add_parser("stats"))
     args = ap.parse_args(argv)
@@ -96,6 +110,42 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "list":
         print(json.dumps({"indexes": discover_indexes(args.index_root)}))
+        return 0
+
+    if args.cmd == "list-snapshots":
+        from engine.snapshot import list_snapshots
+
+        print(json.dumps({"snapshots": list_snapshots(args.repo)}))
+        return 0
+
+    if args.cmd == "snapshot":
+        from engine.snapshot import snapshot as take_snapshot
+
+        src = IndexStore(args.index_root, args.index)
+        if not src.exists():
+            print(json.dumps({"error": f"index {args.index} does not exist"}))
+            return 1
+        try:
+            m = take_snapshot(src, args.repo, args.snapshot)
+        except ValueError as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 1
+        print(json.dumps({"snapshot": m["name"], "index": m["index"],
+                          "segments_copied": m["segments_copied"],
+                          "segments_shared": m["segments_shared"]}))
+        return 0
+
+    if args.cmd == "restore":
+        from engine.snapshot import restore as do_restore
+
+        try:
+            st = do_restore(args.repo, args.snapshot, args.index_root,
+                            args.target)
+        except ValueError as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 1
+        print(json.dumps({"restored": st.name,
+                          "segments": st.live_segments()}))
         return 0
 
     from engine.config import IndexConfig
