@@ -204,6 +204,57 @@ def main() -> None:
             [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
             [r"CartesianProduct"],
         ),
+        # --- round-5 batch 2 ---
+        # top_hits: the row_number<=k filter must plan as WindowGroupLimit
+        # with a Partial (map-side) pass — the hot-bucket defense; the
+        # bucket-selection side is a broadcast
+        "top_hits_agg": (
+            [r"(?s)WindowGroupLimit.*WindowGroupLimit", r"BroadcastHashJoin"],
+            [r"CartesianProduct"],
+        ),
+        # composite: after-key predicate is a plain filter on grouping
+        # columns pushed to the scan; one hash-aggregate + TakeOrdered
+        "composite_agg": (
+            [r"PushedFilters: \[.*", r"HashAggregate",
+             r"TakeOrderedAndProject"],
+            [r"Window"],
+        ),
+        # range agg: the broadcast-literal non-equi join over <=10 range
+        # rows is the intended BroadcastNestedLoopJoin (constant per-row
+        # work); one hash-aggregate on the range key
+        "range_agg": ([r"HashAggregate"], [r"CartesianProduct"]),
+        # filters agg: ALL predicates in one scan -> one global aggregate
+        # (single-row exchange), literal unpivot; never one job per filter
+        "filters_agg": ([r"HashAggregate"], [r"Join"]),
+        # terms_set: contribs shape (broadcast query set) + matched-count
+        # riding the same score aggregate; per-doc required joins after
+        "terms_set_query": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject", r"HashAggregate"],
+            [r"CartesianProduct"],
+        ),
+        # match_phrase_prefix: expansion set + fixed slots both broadcast
+        # onto the positional stream before the adjacency shuffle
+        "phrase_prefix_match": (
+            [r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]
+        ),
+        # _termvectors: requested docs' terms broadcast-semi-filter the
+        # corpus stream before the df/ttf aggregate
+        "term_vectors": (
+            [r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]
+        ),
+        # IVF ANN: centroid assignment is a broadcast + map-side max_by
+        # aggregate (partial+final HashAggregate), candidates a semi-join;
+        # re-rank top-k is TakeOrderedAndProject; never a window sort
+        "ivf_ann_topk": (
+            # max_by(struct) plans as a SortAggregate partial+final pair
+            [r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+             r"(Hash|Sort)Aggregate", r"TakeOrderedAndProject"],
+            [r"Window", r"CartesianProduct"],
+        ),
+        # reindexed / restored stores answer through the same pushed-scan
+        # shapes as the primary store
+        "reindex_search": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        "snapshot_restore_search": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
