@@ -902,6 +902,21 @@ def _q_filters_agg(spark, sf_dir):
 
 _ANALYZE_TEXT = "Spark-Graft's Block-Max WAND: 2 engines, 1 contract?"
 _TERMVEC_IDS = [3, 42, 123]
+_MSEARCH = {
+    "q_flagship": FLAGSHIP_TERMS,
+    "q_pair": ["table", "hash"],
+    "q_single": ["spark"],
+    "q_shared": ["spark", "index"],  # shares a term with q_single/flagship
+}
+
+
+def _q_msearch(spark, sf_dir):
+    """ES _msearch: a 4-query batch answered in ONE corpus pass — shared
+    terms' tf/df computed once, per-query top-k via a WindowGroupLimit
+    window keyed by query_id."""
+    from engine.searchapi import msearch_topk
+
+    return msearch_topk(spark, _docs(spark, sf_dir), _MSEARCH, k=10)
 
 
 def _q_analyze(spark, sf_dir):
@@ -1154,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_search_after": _q_sort_search_after,
         "analyze_text": _q_analyze,
         "term_vectors": _q_term_vectors,
+        "msearch": _q_msearch,
         "mget_store": _q_mget_store,
         "count_query_store": _q_count_query_store,
         "highlight_snippets": _q_highlight,
@@ -1328,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_doc_stats": _ag().routing_doc_counts_oracle_sql("lang"),
         "analyze_text": _sa().analyze_oracle_sql(_ANALYZE_TEXT),
         "term_vectors": _sa().term_vectors_oracle_sql(_TERMVEC_IDS),
+        "msearch": _sa().msearch_oracle_sql(_MSEARCH, k=10),
         "sort_search_after": _sa().sort_search_after_oracle_sql(
             "n_chars", after=_SORT_AFTER, k=20
         ),

@@ -892,3 +892,146 @@ WITH corpus AS (
 SELECT r.doc_id, r.term, r.tf, s.df, s.ttf
 FROM req_tf r JOIN stats s USING (term)
 """
+
+
+# ---------------------------------------------------------------------------
+# _msearch (ES): N queries in ONE pass over the corpus
+# ---------------------------------------------------------------------------
+
+
+def msearch_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    cfg=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `_msearch`: a batch of independent match queries answered
+    together. Output: (query_id, doc_id, score, rank) — each query's BM25
+    top-k (identical per query to bm25_topk; equivalence pytest).
+
+    This is where Spark beats a per-query search engine at bulk scale: the
+    corpus token stream is scanned ONCE for all N queries — the literal
+    (query_id, term) relation broadcasts onto the tf rows (a term shared
+    by many queries fans out to one row per query), per-(query, doc)
+    scores aggregate in one shuffle, and the per-query top-k is a
+    row_number window that plans as a map-side+final WindowGroupLimit
+    pair keyed by query_id. Amortized cost per query approaches the
+    marginal fan-out instead of a full scan — the right shape for the
+    nightly 10k-query evaluation batch at 10^12 docs."""
+    from engine.analysis import tokens
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+    from pyspark.sql.window import Window as W
+
+    cfg = cfg or DEFAULT_CONFIG
+    pairs = sorted(
+        {(qid, t) for qid, terms in queries.items() for t in set(terms)}
+    )
+    if not pairs:
+        raise ValueError("empty query batch")
+    q = spark.createDataFrame(pairs, "query_id string, term string")
+
+    corpus = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("doc_len"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    # tf only for terms ANY query needs (broadcast semi-filter pre-shuffle);
+    # df per term computed once, shared by every query containing the term
+    terms_only = q.select("term").distinct()
+    tf = (
+        corpus.join(F.broadcast(terms_only), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * (F.col("tf") / denom)), SCORE_DECIMALS)
+             .alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score",
+                F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def msearch_oracle_sql(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    cfg=None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from engine.config import DEFAULT_CONFIG, SCORE_DECIMALS
+
+    cfg = cfg or DEFAULT_CONFIG
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    pairs = sorted(
+        {(qid, t) for qid, terms in queries.items() for t in set(terms)}
+    )
+    vals = ", ".join(
+        "('" + qid.replace("'", "''") + "', '" + t.replace("'", "''") + "')"
+        for qid, t in pairs
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), dl AS (
+  SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+), q(query_id, term) AS (
+  VALUES {vals}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.doc_len / stats.avgdl))) ),
+               {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -89,3 +89,41 @@ def test_terms_set_minimum_is_per_document(spark, docs_small):
     floor1 = terms_set_topk(spark, docs_small, TERMS, k=1000,
                             msm_divisor=10**9).collect()
     assert len(floor1) > len(rows)
+
+
+def test_msearch_equals_per_query_bm25(spark, docs_small):
+    """Each query's slice of the batch result must equal its standalone
+    bm25_topk (same formula, same rounding, same tie-break)."""
+    from engine.query import bm25_topk
+    from engine.searchapi import msearch_topk
+
+    batch = {"a": ["spark", "table"], "b": ["the"], "c": TERMS}
+    out = msearch_topk(spark, docs_small, batch, k=12).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in batch.items():
+        solo = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, docs_small, terms, k=12).collect()]
+        assert by_q[qid] == solo, qid
+    # ranks are 1..k per query
+    ranks = [r["rank"] for r in out if r["query_id"] == "a"]
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_msearch_single_scan_plan(spark, docs_small):
+    from engine.searchapi import msearch_topk
+
+    def scan_count(batch):
+        df = msearch_topk(spark, docs_small, batch, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan parquet"), plan.count("WindowGroupLimit")
+
+    two = scan_count({"a": ["spark"], "b": ["table"]})
+    five = scan_count({f"q{i}": [t] for i, t in
+                       enumerate(["spark", "table", "the", "data", "hash"])})
+    # the corpus-pass count is INDEPENDENT of the batch size (queries ride
+    # the same tf/dl/stats relations), and the per-query top-k is a
+    # map-side+final WindowGroupLimit pair
+    assert two[0] == five[0]
+    assert two[1] >= 2 and five[1] >= 2
