@@ -910,6 +910,25 @@ _MSEARCH = {
 }
 
 
+# fixed relevance judgments for _rank_eval (the human-input side of the
+# API — chosen once so some are retrieved at sf0.01 and some are not,
+# exercising hit/miss/graded paths; metrics at other SFs just differ)
+_QRELS = {
+    "q_flagship": {111: 3, 97: 2, 14: 1, 5: 2, 250: 1},
+    "q_pair": {206: 2, 98: 1, 400: 3},
+    "q_single": {368: 1, 89: 2, 7: 1},
+    "q_shared": {368: 2, 14: 1, 42: 3},
+}
+
+
+def _q_rank_eval(spark, sf_dir):
+    """ES _rank_eval: precision@k / recall@k / MRR / NDCG@k per query
+    against literal graded judgments — retrieval is one msearch pass."""
+    from engine.searchapi import rank_eval
+
+    return rank_eval(spark, _docs(spark, sf_dir), _MSEARCH, _QRELS, k=10)
+
+
 def _q_msearch(spark, sf_dir):
     """ES _msearch: a 4-query batch answered in ONE corpus pass — shared
     terms' tf/df computed once, per-query top-k via a WindowGroupLimit
@@ -1170,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_text": _q_analyze,
         "term_vectors": _q_term_vectors,
         "msearch": _q_msearch,
+        "rank_eval": _q_rank_eval,
         "mget_store": _q_mget_store,
         "count_query_store": _q_count_query_store,
         "highlight_snippets": _q_highlight,
@@ -1345,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "analyze_text": _sa().analyze_oracle_sql(_ANALYZE_TEXT),
         "term_vectors": _sa().term_vectors_oracle_sql(_TERMVEC_IDS),
         "msearch": _sa().msearch_oracle_sql(_MSEARCH, k=10),
+        "rank_eval": _sa().rank_eval_oracle_sql(_MSEARCH, _QRELS, k=10),
         "sort_search_after": _sa().sort_search_after_oracle_sql(
             "n_chars", after=_SORT_AFTER, k=20
         ),

@@ -54,7 +54,7 @@ def main() -> None:
         "top_hits_agg", "composite_agg", "range_agg", "filters_agg",
         "shard_doc_stats", "sort_search_after", "mget_store",
         "count_query_store", "highlight_snippets", "analyze_text", "term_vectors",
-        "msearch",
+        "msearch", "rank_eval",
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
         "routed_search", "alias_routed_search", "multi_index_fanout",
         "resize_plan", "image_features", "frame_sample",

@@ -1035,3 +1035,149 @@ SELECT query_id, doc_id, score, rank
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# _rank_eval (ES): ranking-quality metrics against relevance judgments
+# ---------------------------------------------------------------------------
+
+
+def rank_eval(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    qrels: dict[str, dict[int, int]],
+    k: int = 10,
+    cfg=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `_rank_eval`: run the query batch, score the rankings against
+    human relevance judgments (`qrels[query_id][doc_id] = grade`). Output
+    per query: precision@k (graded>0 counts as relevant — ES
+    precision.relevant_rating_threshold=1), recall@k, MRR, and NDCG@k
+    (ES dcg metric: (2^rel - 1) / log2(rank + 1), ideal DCG from the
+    judged grades).
+
+    Retrieval is ONE msearch pass (scan count independent of the query
+    count); the judgments are a literal broadcast; every metric is a
+    per-query aggregate of the <= k joined rows. The evaluation harness
+    shape for nightly relevance regression runs over a production-size
+    corpus."""
+    from engine.config import SCORE_DECIMALS
+
+    missing = [q for q in queries if not any(
+        r > 0 for r in qrels.get(q, {}).values())]
+    if missing:
+        raise ValueError(f"queries without positive judgments: {missing}")
+
+    ranked = msearch_topk(spark, docs, queries, k=k, cfg=cfg,
+                          id_col=id_col, text_col=text_col)
+    qr_rows = [
+        (qid, int(d), int(r))
+        for qid, m in qrels.items() for d, r in m.items()
+    ]
+    qr = spark.createDataFrame(
+        qr_rows, "query_id string, doc_id long, rel int"
+    )
+    hits = ranked.join(qr, ["query_id", "doc_id"], "left").select(
+        "query_id", "rank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    log2 = F.log(F.lit(2.0))
+    per_q = hits.groupBy("query_id").agg(
+        (F.sum((F.col("rel") > 0).cast("int")) / F.lit(float(k))
+         ).alias("p_at_k"),
+        F.sum((F.col("rel") > 0).cast("int")).alias("n_hit_rel"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            / (F.log(F.col("rank") + F.lit(1.0)) / log2)
+        ).alias("dcg"),
+    )
+    n_rel = qr.where(F.col("rel") > 0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    from pyspark.sql.window import Window as W
+
+    ideal = (
+        qr.where(F.col("rel") > 0)
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("rel").desc(), F.col("doc_id").asc())))
+        .where(F.col("rn") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            / (F.log(F.col("rn") + F.lit(1.0)) / log2)
+        ).alias("idcg"))
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), "query_id")
+        .join(F.broadcast(ideal), "query_id")
+        .select(
+            "query_id",
+            F.round("p_at_k", SCORE_DECIMALS).alias("precision_k"),
+            F.round(F.col("n_hit_rel") / F.col("n_rel"),
+                    SCORE_DECIMALS).alias("recall_k"),
+            F.round(F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)),
+                    SCORE_DECIMALS).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"),
+                    SCORE_DECIMALS).alias("ndcg_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def rank_eval_oracle_sql(
+    queries: dict[str, list[str]],
+    qrels: dict[str, dict[int, int]],
+    k: int = 10,
+    cfg=None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from engine.config import SCORE_DECIMALS
+
+    ranked_sql = msearch_oracle_sql(queries, k=k, cfg=cfg, table=table,
+                                    id_col=id_col, text_col=text_col)
+    qr_vals = ", ".join(
+        f"('{qid}', {int(d)}, {int(r)})"
+        for qid, m in sorted(qrels.items()) for d, r in sorted(m.items())
+    )
+    return f"""
+WITH ranked AS (
+{ranked_sql}
+), qrels(query_id, doc_id, rel) AS (
+  VALUES {qr_vals}
+), hits AS (
+  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+  FROM ranked r LEFT JOIN qrels q USING (query_id, doc_id)
+), per_q AS (
+  SELECT query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / CAST({k} AS DOUBLE) AS p_at_k,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit_rel,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum((pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS dcg
+  FROM hits GROUP BY query_id
+), n_rel AS (
+  SELECT query_id, count(*) AS n_rel FROM qrels WHERE rel > 0 GROUP BY query_id
+), ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, rel) - 1.0) / (ln(rn + 1.0) / ln(2.0))) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM qrels WHERE rel > 0
+  ) WHERE rn <= {k}
+  GROUP BY query_id
+)
+SELECT p.query_id,
+       round(p.p_at_k, {SCORE_DECIMALS}) AS precision_k,
+       round(p.n_hit_rel / CAST(n.n_rel AS DOUBLE), {SCORE_DECIMALS}) AS recall_k,
+       round(coalesce(1.0 / p.first_rel, 0.0), {SCORE_DECIMALS}) AS mrr,
+       round(p.dcg / i.idcg, {SCORE_DECIMALS}) AS ndcg_k
+FROM per_q p JOIN n_rel n USING (query_id) JOIN ideal i USING (query_id)
+ORDER BY query_id
+"""

@@ -127,3 +127,37 @@ def test_msearch_single_scan_plan(spark, docs_small):
     # map-side+final WindowGroupLimit pair
     assert two[0] == five[0]
     assert two[1] >= 2 and five[1] >= 2
+
+
+def test_rank_eval_metrics_sanity(spark, docs_small):
+    """Metric identities on a constructed case: a qrels set equal to the
+    exact top-k gives precision=recall=mrr=ndcg=1; disjoint judgments give
+    all zeros except ndcg (0/idcg = 0)."""
+    from engine.query import bm25_topk
+    from engine.searchapi import rank_eval
+
+    top = [r["doc_id"] for r in
+           bm25_topk(spark, docs_small, ["spark"], k=5).collect()]
+    perfect = {"q": {int(d): 1 for d in top}}
+    row = rank_eval(spark, docs_small, {"q": ["spark"]}, perfect,
+                    k=5).collect()[0]
+    assert (row["precision_k"], row["recall_k"], row["mrr"],
+            row["ndcg_k"]) == (1.0, 1.0, 1.0, 1.0)
+    # judged docs never retrieved -> zero precision/recall/mrr/ndcg
+    absent = {"q": {999999: 2, 999998: 1}}
+    row0 = rank_eval(spark, docs_small, {"q": ["spark"]}, absent,
+                     k=5).collect()[0]
+    assert (row0["precision_k"], row0["recall_k"], row0["mrr"],
+            row0["ndcg_k"]) == (0.0, 0.0, 0.0, 0.0)
+    # graded order matters: swapping grades between rank-1 and rank-5
+    # changes NDCG but not precision
+    graded_hi = {"q": {int(top[0]): 3, int(top[4]): 1}}
+    graded_lo = {"q": {int(top[0]): 1, int(top[4]): 3}}
+    hi = rank_eval(spark, docs_small, {"q": ["spark"]}, graded_hi, k=5).collect()[0]
+    lo = rank_eval(spark, docs_small, {"q": ["spark"]}, graded_lo, k=5).collect()[0]
+    assert hi["precision_k"] == lo["precision_k"]
+    assert hi["ndcg_k"] > lo["ndcg_k"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="without positive judgments"):
+        rank_eval(spark, docs_small, {"q": ["spark"]}, {"q": {}}, k=5)
