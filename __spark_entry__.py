@@ -747,6 +747,17 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return _ANN_CACHE[sf_dir].topk(spark, _ann_query_vec(), k=15, n_probes=12)
 
 
+def _q_ann_lsh_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via sign-LSH banding (the scale path next
+    to brute-force cosine_pairs): banded bucket join -> exact-cosine
+    verify, precision 1.0, recall approximate."""
+    from engine.similarity import ann_lsh_pairs
+
+    return ann_lsh_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.5, n_bits=16, n_bands=4
+    )
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN (second ANN family next to LSH): md5-sampled centroids,
     map-side max_by nearest-centroid assignment, n_probes-cell pruning,
@@ -1167,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "ann_lsh_pairs": _q_ann_lsh_pairs,
         "function_score": _q_function_score,
         "term_suggest": _q_term_suggest,
         "term_suggest_store": _q_term_suggest_store,
@@ -1309,6 +1321,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _dd().simhash_oracle_sql(max_hamming=10),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
+        ),
+        "ann_lsh_pairs": _sim().ann_lsh_pairs_oracle_sql(
+            dim=64, threshold=0.5, n_bits=16, n_bands=4
         ),
         "ivf_ann_topk": _sim().ivf_ann_topk_oracle_sql(
             _ann_query_vec(), k=15, n_cells=16, n_probes=4

@@ -45,7 +45,7 @@ def main() -> None:
         "wildcard_match", "wildcard_search_store",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
-        "ivf_ann_topk",
+        "ivf_ann_topk", "ann_lsh_pairs",
         "range_filter_search", "explain_score", "significant_terms_agg",
         "more_like_this", "term_suggest", "term_suggest_store",
         "function_score",

@@ -456,3 +456,147 @@ JOIN probe USING (cell_id)
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH near-duplicate PAIRS over embeddings (the docstring-promised scale
+# path next to brute-force cosine_pairs)
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: sign-LSH banding. The
+    n_bits hyperplane signature splits into n_bands bands of
+    n_bits/n_bands bits; vectors sharing ANY band's bucket become
+    candidates (groupBy-shaped band join — never all pairs); candidates
+    are verified with EXACT cosine >= threshold, so precision is 1.0 and
+    only recall is approximate (a pair at cosine c collides on one band
+    w.p. (1 - acos(c)/pi)^(n_bits/n_bands), amplified across bands —
+    recall-vs-exact pytest).
+
+    Hot buckets above max_bucket_size are skipped and logged
+    (engine.dedup.drop_hot_buckets — the same O(n^2)-bucket guard as the
+    minhash/simhash paths; the oracle contract requires the cap not to
+    trip at oracle scale, as there). Output: (id_a, id_b, cosine),
+    id_a < id_b."""
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide into n_bands equal bands")
+    from engine.dedup import drop_hot_buckets
+
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    sigs = lsh_signatures(df, dim, n_bits, id_col, vec_col)
+    banded = sigs.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("bucket"), i * bpb).bitwiseAND(
+                    F.lit(mask)).alias("bb"),
+            )
+            for i in range(n_bands)
+        ])).alias("s"),
+    ).select("vec_id", "s.band", "s.bb")
+    banded = drop_hot_buckets(
+        banded, ["band", "bb"], max_bucket_size, "ann_lsh_pairs"
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bb") == F.col("y.bb"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    n = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12))
+    )
+    return (
+        cand.join(n.alias("a"), cand["id_a"] == F.col("a.vec_id"))
+        .join(n.alias("b"), cand["id_b"] == F.col("b.vec_id"))
+        .select(
+            "id_a", "id_b", F.round(cos, SCORE_DECIMALS).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ann_lsh_pairs_oracle_sql(
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """SQL twin: the seeded hyperplanes are pure functions of (dim,
+    n_bits), inlined as literals (same device as ann_lsh_topk's oracle);
+    band buckets come from the same bit arithmetic; candidate pairs and
+    the exact-cosine verify regenerate entirely in DuckDB. Contract: the
+    Spark side's hot-bucket cap must not trip at oracle scale (same as
+    minhash_lsh_pairs)."""
+    planes = _hyperplanes(dim, n_bits)
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    plane_cols = ",\n         ".join(
+        "unnest(["
+        + ", ".join(f"{float(v)!r}" for v in planes[i])
+        + f"]::DOUBLE[]) AS b{i}"
+        for i in range(n_bits)
+    )
+    dot_cols = ", ".join(f"sum(a*b{i}) AS d{i}" for i in range(n_bits))
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, (bucket >> {i * bpb}) & {mask} AS bb FROM b"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH z AS (
+  SELECT {id_col} AS vec_id,
+         unnest({vec_col}::DOUBLE[]) AS a,
+         {plane_cols}
+  FROM {table}
+), s AS (
+  SELECT vec_id, sqrt(sum(a*a)) AS nrm, {dot_cols}
+  FROM z GROUP BY vec_id
+), b AS (
+  SELECT vec_id, {bucket_expr} AS bucket FROM s
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bb = y.bb AND x.vec_id < y.vec_id
+), n AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x*x))) AS nrm
+  FROM {table}
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12),
+             {SCORE_DECIMALS}) AS cosine
+FROM cand c
+JOIN n a ON c.id_a = a.vec_id
+JOIN n b ON c.id_b = b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12),
+            {SCORE_DECIMALS}) >= {threshold}
+"""

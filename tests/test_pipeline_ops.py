@@ -237,3 +237,59 @@ def test_ivf_prunes_and_guards(spark, embeddings):
     assert 0 < n_pruned < n_all  # ~2/16 of the corpus reaches re-rank
     with pytest.raises(ValueError):
         ivf_ann_topk(embeddings, q, n_cells=8, n_probes=9)
+
+
+def test_ann_lsh_pairs_vs_oracle(spark, embeddings):
+    from engine.similarity import ann_lsh_pairs, ann_lsh_pairs_oracle_sql
+
+    _cmp(
+        ann_lsh_pairs(embeddings, dim=64, threshold=0.5, n_bits=16, n_bands=4),
+        ann_lsh_pairs_oracle_sql(dim=64, threshold=0.5, n_bits=16, n_bands=4),
+    )
+
+
+def test_ann_lsh_pairs_precision_and_recall(spark):
+    """Precision is exactly 1.0 (candidates are exact-verified); recall on
+    planted near-dup clusters must be high (banding amplifies)."""
+    import numpy as np
+
+    from engine.similarity import ann_lsh_pairs
+    from engine.similarity import cosine_pairs
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for c in range(8):  # 8 clusters of 4 near-dups
+        base = rng.standard_normal(64)
+        for _ in range(4):
+            v = base + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    for _ in range(100):  # noise
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_pairs(df, threshold=0.95).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              ann_lsh_pairs(df, dim=64, threshold=0.95,
+                            n_bits=16, n_bands=8).collect()}
+    assert approx <= exact          # precision 1.0 by construction
+    assert len(exact) >= 40         # sanity: clusters planted
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, recall    # 8 bands of 2 bits: near-dups collide
+
+
+def test_ann_lsh_pairs_hot_bucket_cap(spark):
+    """An adversarial corpus of identical vectors melts the band join
+    O(n^2); the cap skips those buckets (bounded output) instead."""
+    import pytest as _pytest
+
+    from engine.similarity import ann_lsh_pairs
+
+    rows = [(i, [1.0] * 64) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # every bucket hot -> the guard refuses rather than silently empties
+    with _pytest.raises(ValueError, match="every"):
+        ann_lsh_pairs(df, dim=64, threshold=0.9, max_bucket_size=50).count()
+    # cap disabled -> full O(n^2) output exists (the melt-down the cap stops)
+    n = ann_lsh_pairs(df, dim=64, threshold=0.9, max_bucket_size=None).count()
+    assert n == 200 * 199 // 2
