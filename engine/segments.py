@@ -485,6 +485,13 @@ class IndexStore:
         }
         _atomic_write_json(os.path.join(self.path, "_aliases.json"), a)
 
+    def remove_alias(self, alias: str) -> None:
+        """Detach an alias (the remove half of ES's atomic alias swap —
+        _rollover moves an alias by remove-here + add-there)."""
+        a = self._aliases()
+        a.pop(alias, None)
+        _atomic_write_json(os.path.join(self.path, "_aliases.json"), a)
+
     def alias_spec(self, alias: str) -> dict:
         spec = self._aliases()[alias]
         spec.setdefault("routing", None)  # aliases written before the slot

@@ -101,6 +101,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="restored index name (default: snapshotted name)")
     pls = sub.add_parser("list-snapshots")
     pls.add_argument("--repo", required=True)
+    pro = sub.add_parser("rollover", help="ES _rollover: move the write "
+                                          "alias to a new generation when "
+                                          "a condition is met")
+    pro.add_argument("--index-root", required=True)
+    pro.add_argument("--alias", required=True)
+    pro.add_argument("--max-docs", type=int, default=None)
+    pro.add_argument("--max-segments", type=int, default=None)
+    pro.add_argument("--dry-run", action="store_true")
+    pfm = sub.add_parser("forcemerge", help="ES _forcemerge: compact all "
+                                            "live segments into one")
+    add_common(pfm)
     add_common(sub.add_parser("list"), need_index=False)
     add_common(sub.add_parser("stats"))
     args = ap.parse_args(argv)
@@ -111,6 +122,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         print(json.dumps({"indexes": discover_indexes(args.index_root)}))
         return 0
+
+    if args.cmd == "rollover":
+        from engine.rollover import rollover
+
+        try:
+            print(json.dumps(rollover(args.index_root, args.alias,
+                                      max_docs=args.max_docs,
+                                      max_segments=args.max_segments,
+                                      dry_run=args.dry_run)))
+            return 0
+        except ValueError as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 1
 
     if args.cmd == "list-snapshots":
         from engine.snapshot import list_snapshots
@@ -149,6 +173,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from engine.config import IndexConfig
+
+    if args.cmd == "forcemerge":
+        from engine.merge import merge_segments
+        from engine.session import get_spark
+
+        st = IndexStore(args.index_root, args.index)
+        if not st.exists():
+            print(json.dumps({"error": f"index {args.index} does not exist"}))
+            return 1
+        before = st.live_segments()
+        if len(before) <= 1:
+            print(json.dumps({"index": args.index, "merged": False,
+                              "reason": "already one segment",
+                              "segments": before}))
+            return 0
+        spark = get_spark("forcemerge")
+        out = merge_segments(spark, st)
+        print(json.dumps({"index": args.index, "merged": True,
+                          "from": before, "into": out}))
+        return 0
 
     if args.cmd == "reindex":
         from engine.reindex import reindex
