@@ -255,6 +255,20 @@ def main() -> None:
         # shapes as the primary store
         "reindex_search": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
         "snapshot_restore_search": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        # msearch: per-query top-k is a map-side+final WindowGroupLimit
+        # pair keyed by query_id; the query batch is a broadcast literal
+        "msearch": (
+            [r"(?s)WindowGroupLimit.*WindowGroupLimit", r"BroadcastHashJoin"],
+            [r"CartesianProduct"],
+        ),
+        # rank_eval: judgments broadcast onto the bounded ranked rows;
+        # metrics are per-query aggregates
+        "rank_eval": (
+            [r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]
+        ),
+        # embedding LSH pairs: banded equi-join, never all-pairs (same
+        # contract as the minhash/simhash candidate generators)
+        "ann_lsh_pairs": ([], [r"CartesianProduct"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
