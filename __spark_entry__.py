@@ -181,6 +181,17 @@ def _q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # match_phrase_prefix: fixed word + prefix, bounded expansion set
 _PHRASE_PREFIX = ["table", "ha"]
+_SPAN_SLOP = 2
+
+
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near (in_order) / match_phrase slop>0: "table ... hash"
+    within 2 intervening positions; (doc_id, snf) distinct-start counts —
+    a strict superset of the exact-phrase matches (tested)."""
+    from engine.phrase import span_near_freqs
+
+    return span_near_freqs(spark, _docs(spark, sf_dir), _PHRASE,
+                           slop=_SPAN_SLOP)
 
 
 def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_freqs": _q_phrase_freqs,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
         "phrase_prefix_match": _q_phrase_prefix,
+        "span_near_match": _q_span_near,
         "terms_set_query": _q_terms_set,
         "bm25_phrase_store": _q_bm25_phrase_store,
         "prefix_match": _q_prefix_match,
@@ -1247,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_prefix_match": _phr().phrase_prefix_oracle_sql(
             _PHRASE_PREFIX, max_expansions=10
         ),
+        "span_near_match": _phr().span_near_oracle_sql(_PHRASE, slop=_SPAN_SLOP),
         "terms_set_query": _sa().terms_set_oracle_sql(FLAGSHIP_TERMS, k=20),
         "bm25_phrase_store": _phr().bm25_phrase_oracle_sql(_PHRASE, k=20),
         "prefix_match": _pfx().prefix_oracle_sql(_PREFIX, k=25),

@@ -39,7 +39,7 @@ def main() -> None:
         "bm25_topk_indexed",
         "phrase_freqs", "bm25_phrase_topk", "bm25_phrase_store",
         "prefix_match", "prefix_search_store",
-        "phrase_prefix_match", "terms_set_query",
+        "phrase_prefix_match", "terms_set_query", "span_near_match",
         "bm25_topk_bool", "bm25_topk_bool_store",
         "fuzzy_match", "fuzzy_search_store",
         "wildcard_match", "wildcard_search_store",

@@ -351,3 +351,97 @@ WITH exp AS (
 )
 SELECT doc_id, pptf FROM ptf WHERE pptf > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# span_near / sloppy phrase (ES match_phrase slop > 0, span_near in_order)
+# ---------------------------------------------------------------------------
+
+
+def span_near_freqs(
+    spark: SparkSession,
+    docs: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `span_near` with `in_order: true` (and the matching semantics of
+    `match_phrase` with `slop`): the terms occur IN ORDER with total gap
+    (span width minus the n terms) at most `slop`. Output: (doc_id, snf)
+    where snf = the number of DISTINCT start positions admitting at least
+    one valid completion — slop 0 degrades to exact phrase starts (tested
+    against phrase_frequencies).
+
+    The frozen counting contract (documented, shared with the oracle): a
+    start position counts once however many completions it has — the
+    deterministic, engine-agnostic subset of Lucene's SloppyPhraseMatcher
+    behavior (whose freq weighting 1/(1+matchLength) is scoring-internal).
+
+    Scale shape: the positional stream is broadcast-semi-filtered to the
+    query terms BEFORE any shuffle (same as phrase_frequencies); the
+    in-order chain is an (n-1)-step self-join on doc_id with BOUNDED
+    range predicates (p_{i+1} > p_i, p_n - p_1 <= n-1+slop), so each join
+    only pairs occurrences within a slop-bounded window — never a full
+    positional cross product. n is the query length (tiny); the joined
+    relation is per-doc occurrences of the queried terms only."""
+    n = len(terms)
+    if n < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    pos = token_positions(docs, id_col, text_col)
+    width = n - 1 + slop
+
+    legs = []
+    for i, t in enumerate(terms):
+        legs.append(
+            pos.where(F.col("term") == t)
+            .select("doc_id", F.col("pos").alias(f"p{i}"))
+        )
+    joined = legs[0]
+    for i in range(1, n):
+        cond = (F.col(f"p{i}") > F.col(f"p{i - 1}")) & (
+            F.col(f"p{i}") - F.col("p0") <= width
+        )
+        joined = joined.join(legs[i], "doc_id").where(cond)
+    return (
+        joined.select("doc_id", "p0")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("snf"))
+    )
+
+
+def span_near_oracle_sql(
+    terms: list[str],
+    slop: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    n = len(terms)
+    width = n - 1 + slop
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
+    joins = []
+    for i in range(1, n):
+        joins.append(
+            f"JOIN p t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.term = {_sql_quote(terms[i])}"
+            f" AND t{i}.pos > t{i - 1}.pos"
+            f" AND t{i}.pos - t0.pos <= {width}"
+        )
+    return f"""
+WITH p AS (
+  SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS pos,
+         unnest(t) AS term
+  FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table})
+), starts AS (
+  SELECT DISTINCT t0.doc_id, t0.pos
+  FROM p t0
+  {' '.join(joins)}
+  WHERE t0.term = {_sql_quote(terms[0])}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS snf
+FROM starts GROUP BY doc_id
+"""

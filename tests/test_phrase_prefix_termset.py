@@ -161,3 +161,48 @@ def test_rank_eval_metrics_sanity(spark, docs_small):
 
     with _pytest.raises(ValueError, match="without positive judgments"):
         rank_eval(spark, docs_small, {"q": ["spark"]}, {"q": {}}, k=5)
+
+
+def test_span_near_slop0_equals_exact_phrase(spark, docs_small):
+    """slop=0 distinct-start counts must equal exact phrase frequencies
+    when the phrase has no repeated terms (distinct starts == occurrences)."""
+    from engine.phrase import phrase_frequencies, span_near_freqs
+
+    phrase = ["table", "hash"]
+    exact = {(r["doc_id"], r["ptf"]) for r in
+             phrase_frequencies(spark, docs_small, phrase).collect()}
+    span0 = {(r["doc_id"], r["snf"]) for r in
+             span_near_freqs(spark, docs_small, phrase, slop=0).collect()}
+    assert exact == span0 and len(exact) > 0
+
+
+def test_span_near_slop_widens_monotonically(spark, docs_small):
+    from engine.phrase import span_near_freqs
+
+    phrase = ["table", "hash"]
+    by_slop = {}
+    for s in (0, 2, 5):
+        by_slop[s] = {r["doc_id"]: r["snf"] for r in
+                      span_near_freqs(spark, docs_small, phrase, slop=s).collect()}
+    assert set(by_slop[0]) <= set(by_slop[2]) <= set(by_slop[5])
+    assert len(by_slop[5]) > len(by_slop[0])  # wider slop finds more docs
+    # per-doc counts never shrink as slop grows
+    for d, c in by_slop[0].items():
+        assert by_slop[2][d] >= c
+
+
+def test_span_near_three_terms_and_guards(spark, docs_small):
+    import pytest as _pytest
+
+    from engine.phrase import span_near_freqs, span_near_oracle_sql
+
+    got = [tuple(r) for r in
+           span_near_freqs(spark, docs_small, ["the", "table", "the"],
+                           slop=3).collect()]
+    want = _duck(SF_SMOKE,
+                 span_near_oracle_sql(["the", "table", "the"], slop=3))
+    assert _norm(got) == _norm(want) and len(got) > 0
+    with _pytest.raises(ValueError):
+        span_near_freqs(spark, docs_small, ["one"], slop=1)
+    with _pytest.raises(ValueError):
+        span_near_freqs(spark, docs_small, ["a", "b"], slop=-1)
