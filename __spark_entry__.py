@@ -910,6 +910,18 @@ def _filters_spec():
     }
 
 
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix: singleton + pairwise-intersection doc counts
+    for the named filters, all in ONE scan (conditional count columns +
+    literal unpivot; empty intersections omitted, ES key format a&b)."""
+    from engine.aggs_bucket import adjacency_matrix_agg
+
+    return adjacency_matrix_agg(
+        _docs(spark, sf_dir),
+        {n: col() for n, (_, col) in _filters_spec().items()},
+    )
+
+
 def _q_filters_agg(spark, sf_dir):
     """ES `filters` agg: one named bucket per predicate, ALL predicates in
     one scan (conditional counts in a single global aggregate, then a
@@ -1208,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _q_composite_agg,
         "range_agg": _q_range_agg,
         "filters_agg": _q_filters_agg,
+        "adjacency_matrix_agg": _q_adjacency_matrix,
         "shard_doc_stats": _q_shard_doc_stats,
         "sort_search_after": _q_sort_search_after,
         "analyze_text": _q_analyze,
@@ -1386,6 +1399,9 @@ def oracle_sql() -> dict[str, str]:
             "n_chars", _RANGES, metric_col="n_chars"
         ),
         "filters_agg": _ab().filters_oracle_sql(
+            {n: sql for n, (sql, _) in _filters_spec().items()}
+        ),
+        "adjacency_matrix_agg": _ab().adjacency_matrix_oracle_sql(
             {n: sql for n, (sql, _) in _filters_spec().items()}
         ),
         # metadata-served per-routing stats must equal the full data scan

@@ -52,6 +52,7 @@ def main() -> None:
         "terms_agg", "date_histogram_agg", "histogram_agg", "percentiles_agg",
         "stats_agg", "cardinality_agg",
         "top_hits_agg", "composite_agg", "range_agg", "filters_agg",
+        "adjacency_matrix_agg",
         "shard_doc_stats", "sort_search_after", "mget_store",
         "count_query_store", "highlight_snippets", "analyze_text", "term_vectors",
         "msearch", "rank_eval",

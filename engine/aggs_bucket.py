@@ -297,3 +297,57 @@ def filters_oracle_sql(
         for n, pred in sorted(named_filter_sql.items())
     ]
     return " UNION ALL ".join(parts) + " ORDER BY key"
+
+
+# ---------------------------------------------------------------------------
+# adjacency_matrix aggregation (ES `adjacency_matrix`)
+# ---------------------------------------------------------------------------
+
+
+def adjacency_matrix_agg(
+    df: DataFrame, named_filters: dict[str, "F.Column"]
+) -> DataFrame:
+    """ES `adjacency_matrix`: doc counts for every named filter AND every
+    pairwise intersection (key "a&b", names sorted — ES's key format).
+    Empty intersections are omitted, matching ES.
+
+    Plan: like `filters`, ONE scan — every singleton and pair is a
+    conditional count column in a single global aggregate (k + k(k-1)/2
+    columns; ES caps k at 100 for exactly this quadratic reason), then a
+    literal unpivot. No join, no second pass."""
+    names = sorted(named_filters)
+    cols: list[tuple[str, "F.Column"]] = [(n, named_filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cols.append((f"{a}&{b}", named_filters[a] & named_filters[b]))
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"c{i}")
+        for i, (_, c) in enumerate(cols)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', `c{i}`" for i, (n, _) in enumerate(cols))
+    return (
+        one.selectExpr(f"stack({len(cols)}, {stack_args}) AS (key, doc_count)")
+        .where(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def adjacency_matrix_oracle_sql(
+    named_filter_sql: dict[str, str], table: str = "documents"
+) -> str:
+    names = sorted(named_filter_sql)
+    rows = [(n, named_filter_sql[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append(
+                (f"{a}&{b}",
+                 f"({named_filter_sql[a]}) AND ({named_filter_sql[b]})")
+            )
+    parts = [
+        f"SELECT '{n}' AS key, count(*) FILTER (WHERE {pred}) AS doc_count "
+        f"FROM {table}"
+        for n, pred in rows
+    ]
+    return ("SELECT key, doc_count FROM (" + " UNION ALL ".join(parts)
+            + ") WHERE doc_count > 0 ORDER BY key")

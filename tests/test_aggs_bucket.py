@@ -129,3 +129,33 @@ def test_filters_agg_matches_oracle_one_job(spark, docs_small):
     plan = (filters_agg(docs_small, cols)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan parquet") == 1
+
+
+def test_adjacency_matrix_matches_oracle_and_intersections(spark, docs_small):
+    from engine.aggs_bucket import (
+        adjacency_matrix_agg,
+        adjacency_matrix_oracle_sql,
+    )
+
+    cols = {
+        "english": F.col("lang") == "en",
+        "short": F.col("n_chars") < 250,
+        "never": F.col("n_chars") < 0,
+    }
+    sqls = {
+        "english": "lang = 'en'",
+        "short": "n_chars < 250",
+        "never": "n_chars < 0",
+    }
+    got = [tuple(r) for r in adjacency_matrix_agg(docs_small, cols).collect()]
+    want = _duck(SF_SMOKE, adjacency_matrix_oracle_sql(sqls))
+    assert _norm(got) == _norm(want)
+    by_key = dict(got)
+    # intersection arithmetic: |a&b| <= min(|a|, |b|); empty sets omitted
+    assert by_key["english&short"] <= min(by_key["english"], by_key["short"])
+    assert by_key["english&short"] > 0
+    assert "never" not in by_key and "english&never" not in by_key
+    # one scan for the whole matrix
+    plan = (adjacency_matrix_agg(docs_small, cols)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
