@@ -269,6 +269,14 @@ def main() -> None:
         # embedding LSH pairs: banded equi-join, never all-pairs (same
         # contract as the minhash/simhash candidate generators)
         "ann_lsh_pairs": ([], [r"CartesianProduct"]),
+        # span_near: slop-bounded in-order chain — equi-join on doc_id
+        # with range predicates, never a positional cross product
+        "span_near_match": (
+            [r"HashAggregate"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]
+        ),
+        # adjacency_matrix: the whole matrix in one scan + one global
+        # aggregate, no join at all
+        "adjacency_matrix_agg": ([r"HashAggregate"], [r"Join"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
