@@ -71,6 +71,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
 
+    # Executor Python workers must import the `engine` package regardless
+    # of the caller's cwd (jobs/ CLIs run from anywhere; on a real cluster
+    # spark-submit --py-files ships the package instead). Workers inherit
+    # the driver process env, so prepending the repo root to PYTHONPATH
+    # BEFORE the JVM starts makes cloudpickled UDF closures importable.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
