@@ -324,6 +324,41 @@ def _q_wildcard_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES regexp query: anchored term regex (Lucene whole-term semantics);
+# "[kq].*y" matches the vocabulary terms key / query.
+_REGEXP = "[kq].*y"
+
+
+def _q_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.wildcard import regexp_match
+
+    return regexp_match(spark, _docs(spark, sf_dir), _REGEXP, k=25)
+
+
+# ES collapse (field collapsing): flagship BM25, at most one hit per
+# `source` (the webtext "one best page per site" idiom).
+def _q_collapse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.rerank import collapse_topk
+
+    return collapse_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, "source", k=10
+    )
+
+
+# ES rescore (query_rescorer): flagship BM25 first pass, top-50 window
+# rescored by a second BM25 query, total = 1.0*first + 2.0*second.
+_RESCORE_TERMS = ["hash", "join"]
+
+
+def _q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.rerank import rescore_topk
+
+    return rescore_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, _RESCORE_TERMS,
+        window_size=50, k=20, query_weight=1.0, rescore_weight=2.0,
+    )
+
+
 # ES fuzzy query (D15): "part" within 2 edits expands against the corpus
 # vocabulary to {part, fast, sort, spark}; max_expansions=3 exercises the
 # deterministic (distance ASC, term ASC) truncation -> {part, fast, sort}.
@@ -1182,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_store": _q_fuzzy_search_store,
         "wildcard_match": _q_wildcard_match,
         "wildcard_search_store": _q_wildcard_search_store,
+        "regexp_match": _q_regexp_match,
+        "collapse_source": _q_collapse_source,
+        "rescore_topk": _q_rescore_topk,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_store": _q_bm25_topk_store,
         "reindex_search": _q_reindex_search,
@@ -1298,6 +1336,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wildcard_match": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
         "wildcard_search_store": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
+        "regexp_match": _wc().regexp_oracle_sql(_REGEXP, k=25),
+        "collapse_source": _rr().collapse_oracle_sql(
+            FLAGSHIP_TERMS, "source", k=10
+        ),
+        "rescore_topk": _rr().rescore_oracle_sql(
+            FLAGSHIP_TERMS, _RESCORE_TERMS,
+            window_size=50, k=20, query_weight=1.0, rescore_weight=2.0,
+        ),
         "postings_roundtrip": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS term FROM documents),
             tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -1570,6 +1616,12 @@ def _sa():
     from engine import searchapi
 
     return searchapi
+
+
+def _rr():
+    from engine import rerank
+
+    return rerank
 
 
 def _ts():

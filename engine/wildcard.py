@@ -118,6 +118,65 @@ def search_store_wildcard(
     return scored.orderBy(F.col("doc_id").asc()).limit(k)
 
 
+def regexp_match(
+    spark: SparkSession,
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `regexp` query: constant-score match of docs containing ANY term
+    the regex matches. Lucene anchors the pattern to the WHOLE term (no
+    implicit .* at either end), so the engine anchors with ^(?:...)$ and
+    the oracle uses DuckDB's regexp_full_match — identical semantics.
+
+    Pattern contract: the supported operators are the subset common to
+    Java regex (Spark rlike) and RE2 (DuckDB): literals, char classes,
+    alternation, ?, *, +, {m,n} — no backreferences or lookaround (Lucene's
+    regexp syntax is similarly restricted). Same CONSTANT_SCORE multi-term
+    rewrite and 100 TB shape as wildcard_match: the regex runs JVM-side on
+    the exploded token stream before the distinct's shuffle; on a store,
+    any literal prefix of the pattern pushes StringStartsWith for row-group
+    skipping exactly as leading_literal does for wildcard."""
+    anchored = f"^(?:{pattern.lower()})$"
+    matched = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term").rlike(anchored))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        matched.select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def regexp_oracle_sql(
+    pattern: str,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    pat = pattern.lower().replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+)
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM toks WHERE regexp_full_match(term, '{pat}')
+ORDER BY doc_id ASC
+LIMIT {k}
+"""
+
+
 def wildcard_oracle_sql(
     pattern: str,
     k: int = 10,

@@ -277,6 +277,24 @@ def main() -> None:
         # adjacency_matrix: the whole matrix in one scan + one global
         # aggregate, no join at all
         "adjacency_matrix_agg": ([r"HashAggregate"], [r"Join"]),
+        # collapse: the one-best-hit-per-group filter must plan as the
+        # map-side partial + final WindowGroupLimit pair (a hot group ships
+        # <=1 row per partition), then a global TakeOrderedAndProject
+        "collapse_source": (
+            [r"(?s)WindowGroupLimit.*WindowGroupLimit", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        # rescore: both passes are broadcast-joined bm25 relations; the
+        # second pass is gated by the broadcast window doc-id set (bounded
+        # shuffle), and the final rerank is a bounded top-k
+        "rescore_topk": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        # regexp: the anchored RLIKE filter runs JVM-side on the exploded
+        # token stream BEFORE the distinct's exchange (the (3) Filter
+        # section precedes the (6) Exchange section in the detail listing)
+        "regexp_match": ([r"(?s)RLIKE.*Exchange"], [r"CartesianProduct"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
