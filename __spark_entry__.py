@@ -752,6 +752,22 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> one canonical doc per
+    cluster (the keep/drop decision of the training-data dedup pipeline).
+    Pairs come from the same uncapped minhash-LSH run the driver already
+    value-hashes; the oracle resolves the identical closure with a
+    recursive CTE."""
+    from engine.clusters import dedup_clusters
+    from engine.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=0.5, max_bucket_size=None
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from engine.dedup import simhash_near_pairs
 
@@ -1235,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_duplicates,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1391,6 +1408,12 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, k=3, threshold=0.5
         ),
         "simhash_near_pairs": _dd().simhash_oracle_sql(max_hamming=10),
+        # transitive closure of the SAME uncapped minhash pairs via a
+        # recursive CTE — pairs generation AND cluster resolution are both
+        # value-hash checked end to end
+        "dedup_clusters": _cl().dedup_clusters_oracle_sql(
+            _dd().minhash_lsh_oracle_sql(num_perm=64, bands=16, k=3, threshold=0.5)
+        ),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),
@@ -1622,6 +1645,12 @@ def _rr():
     from engine import rerank
 
     return rerank
+
+
+def _cl():
+    from engine import clusters
+
+    return clusters
 
 
 def _ts():
