@@ -359,6 +359,22 @@ def _q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES percolator: stored queries matched against the corpus in one pass
+# (query_id, required terms, minimum_should_match).
+_PERC_QUERIES = [
+    (1, ["spark", "join"], 2),             # conjunctive pair
+    (2, ["vector", "merge", "table"], 2),  # 2-of-3 minimum_should_match
+    (3, ["zzznope"], 1),                   # matches nothing
+    (4, ["hash"], 1),                      # single-term alert
+]
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.percolate import percolate
+
+    return percolate(spark, _docs(spark, sf_dir), _PERC_QUERIES)
+
+
 # ES fuzzy query (D15): "part" within 2 edits expands against the corpus
 # vocabulary to {part, fast, sort, spark}; max_expansions=3 exercises the
 # deterministic (distance ASC, term ASC) truncation -> {part, fast, sort}.
@@ -1234,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_match": _q_wildcard_match,
         "wildcard_search_store": _q_wildcard_search_store,
         "regexp_match": _q_regexp_match,
+        "percolate_matches": _q_percolate,
         "collapse_source": _q_collapse_source,
         "rescore_topk": _q_rescore_topk,
         "bm25_topk_wand": _q_bm25_topk_wand,
@@ -1354,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_match": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
         "wildcard_search_store": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
         "regexp_match": _wc().regexp_oracle_sql(_REGEXP, k=25),
+        "percolate_matches": _pc().percolate_oracle_sql(_PERC_QUERIES),
         "collapse_source": _rr().collapse_oracle_sql(
             FLAGSHIP_TERMS, "source", k=10
         ),
@@ -1651,6 +1669,12 @@ def _cl():
     from engine import clusters
 
     return clusters
+
+
+def _pc():
+    from engine import percolate
+
+    return percolate
 
 
 def _ts():

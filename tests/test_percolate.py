@@ -1,0 +1,35 @@
+"""percolate semantics: conjunctive vs minimum_should_match, distinct-term
+counting (repeats in a doc count once), non-matching queries absent."""
+
+from __future__ import annotations
+
+from engine.percolate import percolate
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_conjunctive_and_msm(spark):
+    docs = _docs(spark, [
+        (1, "spark join spark join"),   # both terms (repeated)
+        (2, "spark only here"),         # one of two
+        (3, "vector merge"),            # 2 of 3 for query 20
+        (4, "vector alone"),            # 1 of 3
+    ])
+    queries = [
+        (10, ["spark", "join"], 2),
+        (20, ["vector", "merge", "table"], 2),
+    ]
+    got = {
+        (r["doc_id"], r["query_id"]): r["n_matched"]
+        for r in percolate(spark, docs, queries).collect()
+    }
+    # doc1 matches query10 with n_matched=2 (distinct terms, not 4 repeats)
+    assert got == {(1, 10): 2, (3, 20): 2}
+
+
+def test_case_folding_and_empty(spark):
+    docs = _docs(spark, [(1, "Spark JOIN"), (2, "")])
+    got = percolate(spark, docs, [(5, ["SPARK", "join"], 2)]).collect()
+    assert [(r["doc_id"], r["query_id"]) for r in got] == [(1, 5)]

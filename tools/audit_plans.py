@@ -291,6 +291,12 @@ def main() -> None:
             [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
             [r"CartesianProduct"],
         ),
+        # percolator: the stored-query table broadcasts; matching is one
+        # count-distinct aggregate — scan count independent of query count
+        "percolate_matches": (
+            [r"BroadcastHashJoin", r"HashAggregate"],
+            [r"CartesianProduct", r"SortMergeJoin"],
+        ),
         # regexp: the anchored RLIKE filter runs JVM-side on the exploded
         # token stream BEFORE the distinct's exchange (the (3) Filter
         # section precedes the (6) Exchange section in the detail listing)
