@@ -43,7 +43,7 @@ def main() -> None:
         "bm25_topk_bool", "bm25_topk_bool_store",
         "fuzzy_match", "fuzzy_search_store",
         "wildcard_match", "wildcard_search_store", "regexp_match",
-        "collapse_source", "rescore_topk",
+        "collapse_source", "rescore_topk", "percolate_matches",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "ivf_ann_topk", "ann_lsh_pairs",
