@@ -768,6 +768,15 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_training_corpus(spark, sf_dir):
+    """The composed cleaning pipeline: language filter + quality gate +
+    exact-dedup canonical selection in one scan + one WindowGroupLimit
+    shuffle (engine/pipeline.py)."""
+    from engine.pipeline import training_corpus
+
+    return training_corpus(spark, _docs(spark, sf_dir))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> one canonical doc per
     cluster (the keep/drop decision of the training-data dedup pipeline).
@@ -1269,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "training_corpus": _q_training_corpus,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1432,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _cl().dedup_clusters_oracle_sql(
             _dd().minhash_lsh_oracle_sql(num_perm=64, bands=16, k=3, threshold=0.5)
         ),
+        "training_corpus": _pl().training_corpus_oracle_sql(),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),
@@ -1675,6 +1686,12 @@ def _pc():
     from engine import percolate
 
     return percolate
+
+
+def _pl():
+    from engine import pipeline
+
+    return pipeline
 
 
 def _ts():

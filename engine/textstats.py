@@ -96,10 +96,11 @@ FROM {table}
 """
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-overlap language heuristic: argmax over per-lang lexicon hit
-    counts; 'und' (undetermined) when nothing matches. Deterministic
-    tie-break: lexicographic language order."""
+def lang_pred_col(text_col: str = "text") -> Column:
+    """The lang_id prediction as a reusable column expression (argmax over
+    per-lang lexicon hit counts, 'und' when nothing matches, lexicographic
+    tie-break) — shared by lang_id and the composed training_corpus
+    pipeline so both stay one scan."""
     toks = F.array_distinct(tokens(text_col))
     scores = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in lex])))
@@ -109,8 +110,16 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     pred = F.lit("und")
     for lang in sorted(LANG_LEXICONS, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic: argmax over per-lang lexicon hit
+    counts; 'und' (undetermined) when nothing matches. Deterministic
+    tie-break: lexicographic language order."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), lang_pred_col(text_col).alias("lang_pred")
+    )
 
 
 def lang_id_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:

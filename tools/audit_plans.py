@@ -291,6 +291,14 @@ def main() -> None:
             [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
             [r"CartesianProduct"],
         ),
+        # training_corpus: lang + quality + fingerprint computed in ONE
+        # projection over ONE scan (3+ "Scan parquet" strings = 2 physical
+        # scans: tree + detail each print once per scan), filter before the
+        # dedup shuffle, canonical pick via the WindowGroupLimit pair
+        "training_corpus": (
+            [r"(?s)WindowGroupLimit.*WindowGroupLimit"],
+            [r"Join", r"(?s)(?:Scan parquet.*){3}"],
+        ),
         # percolator: the stored-query table broadcasts; matching is one
         # count-distinct aggregate — scan count independent of query count
         "percolate_matches": (
