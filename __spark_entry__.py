@@ -777,6 +777,18 @@ def _q_training_corpus(spark, sf_dir):
     return training_corpus(spark, _docs(spark, sf_dir))
 
 
+# corpus mixing rates: all en, 30% fr, 10% of everything else
+_SAMPLE_RATES = {"en": 1.0, "fr": 0.3, "*": 0.1}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (corpus mixing):
+    reproducible at any parallelism, regenerated exactly by the oracle."""
+    from engine.pipeline import stratified_sample
+
+    return stratified_sample(spark, _docs(spark, sf_dir), _SAMPLE_RATES)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> one canonical doc per
     cluster (the keep/drop decision of the training-data dedup pipeline).
@@ -1279,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "training_corpus": _q_training_corpus,
+        "stratified_sample": _q_stratified_sample,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1443,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
             _dd().minhash_lsh_oracle_sql(num_perm=64, bands=16, k=3, threshold=0.5)
         ),
         "training_corpus": _pl().training_corpus_oracle_sql(),
+        "stratified_sample": _pl().stratified_sample_oracle_sql(_SAMPLE_RATES),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),

@@ -91,6 +91,75 @@ def training_corpus(
     )
 
 
+def stratified_sample(
+    spark: SparkSession,
+    docs: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    seed: str = "s1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing step of a
+    training-data pipeline (e.g. keep 100% of en, 30% of fr, 10% of the
+    rest). NOT RNG-based: the keep decision is a pure function of
+    (seed, doc_id) — u = first 60 bits of md5(seed:doc_id) / 2^60 < rate —
+    so the sample is reproducible run-to-run, identical at ANY parallelism
+    (the north rule's two-cluster-size identity), resumable without state,
+    and the oracle regenerates it exactly (md5 is bit-identical in Spark
+    and DuckDB). `rates`: strat value -> keep fraction; values not listed
+    use rates.get('*', 0.0). Returns kept (doc_id, strat_col, u)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    default = float(rates.get("*", 0.0))
+    rate = F.lit(default)
+    for val, frac in sorted(rates.items()):
+        if val == "*":
+            continue
+        rate = F.when(F.col(strat_col) == F.lit(val), F.lit(float(frac))).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strat_col),
+            F.round(u, SCORE_DECIMALS).alias("u"),
+        )
+        .where(u < rate)
+    )
+
+
+def stratified_sample_oracle_sql(
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    seed: str = "s1",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT"
+        f" / {float(1 << 60)})"
+    )
+    default = float(rates.get("*", 0.0))
+    cases = " ".join(
+        f"WHEN {strat_col} = '{val}' THEN {float(frac)}"
+        for val, frac in sorted(rates.items())
+        if val != "*"
+    )
+    return f"""
+SELECT {id_col} AS doc_id, {strat_col}, round({u}, {SCORE_DECIMALS}) AS u
+FROM {table}
+WHERE {u} < (CASE {cases} ELSE {default} END)
+"""
+
+
 def training_corpus_oracle_sql(
     lang: str = "en",
     min_tokens: int = 30,

@@ -28,3 +28,19 @@ def test_gates_and_canonical(spark):
     assert row[1]["lang_pred"] == "en"
     assert row[1]["n_tokens"] >= 30
     assert row[1]["stopword_ratio"] >= 0.01
+
+
+def test_stratified_sample_deterministic_across_parallelism(spark, docs_mid):
+    from engine.pipeline import stratified_sample
+
+    rates = {"en": 1.0, "fr": 0.3, "*": 0.1}
+    a = stratified_sample(spark, docs_mid, rates)
+    b = stratified_sample(spark, docs_mid.repartition(13), rates)
+    ka = sorted(r["doc_id"] for r in a.collect())
+    kb = sorted(r["doc_id"] for r in b.collect())
+    assert ka == kb and len(ka) > 0
+    # en kept in full; non-listed langs thinned to roughly their rate
+    langs = {r["doc_id"]: r["lang"] for r in docs_mid.select("doc_id", "lang").collect()}
+    n_en_total = sum(1 for v in langs.values() if v == "en")
+    n_en_kept = sum(1 for d in ka if langs[d] == "en")
+    assert n_en_kept == n_en_total

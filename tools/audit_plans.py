@@ -299,6 +299,9 @@ def main() -> None:
             [r"(?s)WindowGroupLimit.*WindowGroupLimit"],
             [r"Join", r"(?s)(?:Scan parquet.*){3}"],
         ),
+        # stratified sampling: a pure deterministic filter — no shuffle,
+        # no RNG state, reproducible at any parallelism
+        "stratified_sample": ([], [r"Exchange", r"Join"]),
         # percolator: the stored-query table broadcasts; matching is one
         # count-distinct aggregate — scan count independent of query count
         "percolate_matches": (
