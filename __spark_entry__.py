@@ -777,6 +777,18 @@ def _q_training_corpus(spark, sf_dir):
     return training_corpus(spark, _docs(spark, sf_dir))
 
 
+def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.searchapi import exists_query
+
+    return exists_query(spark, _docs(spark, sf_dir), "text")
+
+
+def _q_sliced_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.searchapi import sliced_export
+
+    return sliced_export(spark, _docs(spark, sf_dir), slice_id=1, max_slices=4)
+
+
 # corpus mixing rates: all en, 30% fr, 10% of everything else
 _SAMPLE_RATES = {"en": 1.0, "fr": 0.3, "*": 0.1}
 
@@ -1292,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "training_corpus": _q_training_corpus,
         "stratified_sample": _q_stratified_sample,
+        "exists_query": _q_exists,
+        "sliced_export": _q_sliced_export,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1457,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "training_corpus": _pl().training_corpus_oracle_sql(),
         "stratified_sample": _pl().stratified_sample_oracle_sql(_SAMPLE_RATES),
+        "exists_query": _sa().exists_oracle_sql("text"),
+        "sliced_export": _sa().sliced_export_oracle_sql(slice_id=1, max_slices=4),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),

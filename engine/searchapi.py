@@ -1042,6 +1042,85 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 
 
+def exists_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    field: str = "text",
+    k: int = 10**9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `exists` query on an analyzed text field: matches docs whose
+    field has at least one INDEXED value — ES 5.5 semantics where an
+    empty/whitespace-only string analyzes to zero tokens and therefore
+    does NOT exist, while any tokenizable content does. Constant score,
+    doc_id-asc page. Pure JVM filter before any limit; on a store this is
+    served from doc_len > 0 metadata without touching postings."""
+    from engine.analysis import tokens
+
+    matched = docs.where(
+        F.col(field).isNotNull() & (F.size(tokens(field)) > 0)
+    )
+    return (
+        matched.select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def exists_oracle_sql(
+    field: str = "text",
+    k: int = 10**9,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+SELECT {id_col} AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM {table}
+WHERE {field} IS NOT NULL
+  AND len(regexp_extract_all(lower({field}), '{TOKEN_PATTERN}')) > 0
+ORDER BY doc_id ASC
+LIMIT {k}
+"""
+
+
+def sliced_export(
+    spark: SparkSession,
+    docs: DataFrame,
+    slice_id: int,
+    max_slices: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES sliced scroll (slice.id / slice.max): deterministic disjoint
+    slices for parallel export of a corpus — N workers each pull their
+    slice independently, union = corpus, no coordination state. The slice
+    key is md5-derived from the doc id (not the row's position), so slices
+    are stable across runs and parallelism levels and the oracle
+    regenerates them exactly. Returns (doc_id, slice_id)."""
+    if not (0 <= slice_id < max_slices):
+        raise ValueError("slice_id must be in [0, max_slices)")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h, F.lit(int(max_slices))).alias("slice_id"),
+    ).where(F.col("slice_id") == F.lit(int(slice_id)))
+
+
+def sliced_export_oracle_sql(
+    slice_id: int,
+    max_slices: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    h = f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT % {int(max_slices)})"
+    return f"""
+SELECT {id_col} AS doc_id, {h} AS slice_id
+FROM {table}
+WHERE {h} = {int(slice_id)}
+"""
+
+
 def rank_eval(
     spark: SparkSession,
     docs: DataFrame,

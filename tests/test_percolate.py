@@ -33,3 +33,34 @@ def test_case_folding_and_empty(spark):
     docs = _docs(spark, [(1, "Spark JOIN"), (2, "")])
     got = percolate(spark, docs, [(5, ["SPARK", "join"], 2)]).collect()
     assert [(r["doc_id"], r["query_id"]) for r in got] == [(1, 5)]
+
+
+def test_exists_semantics(spark):
+    from engine.searchapi import exists_query
+
+    docs = spark.createDataFrame(
+        [(1, "real content"), (2, ""), (3, None), (4, "   "), (5, "...")],
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in exists_query(spark, docs, "text").collect()]
+    # empty, null, whitespace-only, and punctuation-only (zero tokens after
+    # analysis) all do NOT exist — ES analyzed-field semantics
+    assert got == [1]
+
+
+def test_sliced_export_partition(spark, docs_small):
+    from engine.searchapi import sliced_export
+
+    slices = [
+        {r["doc_id"] for r in sliced_export(spark, docs_small, i, 4).collect()}
+        for i in range(4)
+    ]
+    all_ids = {r["doc_id"] for r in docs_small.select("doc_id").collect()}
+    assert set().union(*slices) == all_ids
+    assert sum(len(s) for s in slices) == len(all_ids)  # disjoint
+    # stable across parallelism
+    again = {
+        r["doc_id"]
+        for r in sliced_export(spark, docs_small.repartition(7), 1, 4).collect()
+    }
+    assert again == slices[1]
