@@ -1190,6 +1190,17 @@ def _q_more_like_this(spark, sf_dir):
 
 
 _SUGGEST_SEED = "scor"  # misspelled input for the term suggester
+_SUGGEST_PHRASE = "spak tabel hash"  # two misspellings + one valid term
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester (deterministic unigram subset): best correction
+    per position from the dictionary relation; "spak tabel hash" ->
+    "spark table hash"."""
+    from engine.fuzzy import corpus_vocab_df, phrase_suggest
+
+    vocab = corpus_vocab_df(_docs(spark, sf_dir))
+    return phrase_suggest(spark, vocab, _SUGGEST_PHRASE, max_edits=2)
 
 
 def _q_term_suggest(spark, sf_dir):
@@ -1314,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": _q_ann_lsh_pairs,
         "function_score": _q_function_score,
         "term_suggest": _q_term_suggest,
+        "phrase_suggest": _q_phrase_suggest,
         "term_suggest_store": _q_term_suggest_store,
         "range_filter_search": _q_range_filter_search,
         "explain_score": _q_explain_score,
@@ -1492,6 +1504,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_suggest_store": _fz().term_suggest_oracle_sql(
             _SUGGEST_SEED, size=8, max_edits=2
+        ),
+        "phrase_suggest": _fz().phrase_suggest_oracle_sql(
+            _SUGGEST_PHRASE, max_edits=2
         ),
         "range_filter_search": bm25_topk_oracle_sql(
             FLAGSHIP_TERMS, k=20,

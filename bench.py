@@ -50,7 +50,7 @@ def main() -> None:
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "ivf_ann_topk", "ann_lsh_pairs",
         "range_filter_search", "explain_score", "significant_terms_agg",
-        "more_like_this", "term_suggest", "term_suggest_store",
+        "more_like_this", "term_suggest", "term_suggest_store", "phrase_suggest",
         "function_score",
         "terms_agg", "date_histogram_agg", "histogram_agg", "percentiles_agg",
         "stats_agg", "cardinality_agg",

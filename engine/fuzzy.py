@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from engine.config import DEFAULT_CONFIG, TOKEN_PATTERN, IndexConfig
 
@@ -268,6 +269,108 @@ def corpus_vocab_df(docs: DataFrame, id_col: str = "doc_id",
     from engine.query import doc_frequencies, term_frequencies
 
     return doc_frequencies(term_frequencies(docs, id_col, text_col))
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    vocab_df: DataFrame,
+    phrase: str,
+    max_edits: int = 2,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """ES phrase suggester ("did you mean" for a whole query), the
+    deterministic subset: per position, the best correction within
+    `max_edits` Levenshtein edits ranked by (distance ASC, df DESC, term
+    ASC) — a unigram-LM special case of ES's word-LM scoring; real ES adds
+    a bigram model and a confidence cutoff, both nondeterministic across
+    shard counts, hence out of the frozen contract. A position with no
+    candidate keeps its input verbatim with dist = -1, df = 0 (ES omits
+    the suggestion; emitting the identity keeps the output shape total).
+
+    Returns (pos, input_term, suggestion, dist, df), pos-ordered — the
+    corrected phrase is the pos-ordered join of `suggestion`.
+
+    Scale shape: candidates come from the term DICTIONARY (|vocab| rows,
+    never postings), length-window pre-filtered before the levenshtein
+    compare; per-position best is the row_number()<=1 WindowGroupLimit
+    pair, and the positions relation (a few literal rows) broadcasts."""
+    toks = [t for t in phrase.lower().split() if t]
+    pos_df = spark.createDataFrame(
+        list(enumerate(toks)), "pos long, input_term string"
+    )
+    cand = vocab_df.select("term", "df").where(
+        F.col("df") >= F.lit(int(min_doc_freq))
+    )
+    joined = (
+        F.broadcast(pos_df)
+        .join(
+            cand,
+            (F.length("term") >= F.length("input_term") - F.lit(max_edits))
+            & (F.length("term") <= F.length("input_term") + F.lit(max_edits)),
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("input_term")))
+        .where(F.col("dist") <= F.lit(int(max_edits)))
+    )
+    best = F.row_number().over(
+        Window.partitionBy("pos").orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+        )
+    )
+    picked = joined.withColumn("_rk", best).where(F.col("_rk") == 1)
+    return (
+        pos_df.join(picked.select("pos", "term", "dist", "df"), "pos", "left")
+        .select(
+            "pos",
+            "input_term",
+            F.coalesce("term", "input_term").alias("suggestion"),
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("dist"),
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+        )
+        .orderBy("pos")
+    )
+
+
+def phrase_suggest_oracle_sql(
+    phrase: str,
+    max_edits: int = 2,
+    min_doc_freq: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = [t for t in phrase.lower().split() if t]
+    pos_values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in enumerate(toks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), pos(pos, input_term) AS (
+  VALUES {pos_values}
+), cand AS (
+  SELECT pos.pos, pos.input_term, dfreq.term, dfreq.df,
+         levenshtein(dfreq.term, pos.input_term) AS dist,
+         row_number() OVER (
+           PARTITION BY pos.pos
+           ORDER BY levenshtein(dfreq.term, pos.input_term) ASC,
+                    dfreq.df DESC, dfreq.term ASC
+         ) AS rk
+  FROM pos JOIN dfreq
+    ON abs(len(dfreq.term) - len(pos.input_term)) <= {int(max_edits)}
+  WHERE dfreq.df >= {int(min_doc_freq)}
+    AND levenshtein(dfreq.term, pos.input_term) <= {int(max_edits)}
+)
+SELECT p.pos, p.input_term,
+       coalesce(c.term, p.input_term) AS suggestion,
+       CAST(coalesce(c.dist, -1) AS INT) AS dist,
+       CAST(coalesce(c.df, 0) AS BIGINT) AS df
+FROM pos p LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c USING (pos)
+ORDER BY p.pos
+"""
 
 
 def term_suggest_oracle_sql(

@@ -64,3 +64,22 @@ def test_sliced_export_partition(spark, docs_small):
         for r in sliced_export(spark, docs_small.repartition(7), 1, 4).collect()
     }
     assert again == slices[1]
+
+
+def test_phrase_suggest_semantics(spark):
+    from engine.fuzzy import phrase_suggest
+
+    vocab = spark.createDataFrame(
+        [("spark", 100), ("table", 80), ("hash", 60), ("tables", 90)],
+        "term string, df long",
+    )
+    out = phrase_suggest(spark, vocab, "spak tabel hash zzzzzzzzzz").collect()
+    by_pos = {r["pos"]: r for r in out}
+    assert by_pos[0]["suggestion"] == "spark" and by_pos[0]["dist"] == 1
+    # "tabel" is 1 edit from BOTH table and tables -> higher df wins
+    assert by_pos[1]["suggestion"] == "tables"
+    # exact vocab hit: dist 0, kept
+    assert by_pos[2]["suggestion"] == "hash" and by_pos[2]["dist"] == 0
+    # no candidate within 2 edits: input kept verbatim, dist -1, df 0
+    assert by_pos[3]["suggestion"] == "zzzzzzzzzz"
+    assert by_pos[3]["dist"] == -1 and by_pos[3]["df"] == 0

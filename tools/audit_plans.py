@@ -299,6 +299,13 @@ def main() -> None:
             [r"(?s)WindowGroupLimit.*WindowGroupLimit"],
             [r"Join", r"(?s)(?:Scan parquet.*){3}"],
         ),
+        # phrase suggester: per-position best is the WindowGroupLimit pair;
+        # the positions relation (a few literal rows) broadcasts against
+        # the dictionary (a bounded BroadcastNestedLoopJoin on the length
+        # window — |vocab| x |positions|, never corpus-sized)
+        "phrase_suggest": (
+            [r"(?s)WindowGroupLimit.*WindowGroupLimit"], [r"CartesianProduct"]
+        ),
         # stratified sampling: a pure deterministic filter — no shuffle,
         # no RNG state, reproducible at any parallelism
         "stratified_sample": ([], [r"Exchange", r"Join"]),
