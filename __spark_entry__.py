@@ -777,6 +777,30 @@ def _q_training_corpus(spark, sf_dir):
     return training_corpus(spark, _docs(spark, sf_dir))
 
 
+def _q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats over (n_chars, token length): per-field moments +
+    covariance/correlation in one map-side aggregate."""
+    from engine.aggs import matrix_stats_agg
+
+    return matrix_stats_agg(_docs(spark, sf_dir), "n_chars")
+
+
+def _q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: prefix autocomplete from the dictionary
+    relation ranked by df ("s" -> scan/small/spark/... by popularity)."""
+    from engine.fuzzy import completion_suggest, corpus_vocab_df
+
+    return completion_suggest(corpus_vocab_df(_docs(spark, sf_dir)), "s", size=6)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition fractions (tokens + 3-grams),
+    shuffle-free array expressions."""
+    from engine.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.searchapi import exists_query
 
@@ -1317,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "exists_query": _q_exists,
         "sliced_export": _q_sliced_export,
+        "matrix_stats_agg": _q_matrix_stats,
+        "completion_suggest": _q_completion_suggest,
+        "repetition_stats": _q_repetition_stats,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1485,6 +1512,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _pl().stratified_sample_oracle_sql(_SAMPLE_RATES),
         "exists_query": _sa().exists_oracle_sql("text"),
         "sliced_export": _sa().sliced_export_oracle_sql(slice_id=1, max_slices=4),
+        "matrix_stats_agg": _ag().matrix_stats_oracle_sql("n_chars"),
+        "completion_suggest": _fz().completion_suggest_oracle_sql("s", size=6),
+        "repetition_stats": _ts().repetition_stats_oracle_sql(),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),

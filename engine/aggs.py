@@ -494,3 +494,57 @@ def routing_doc_counts_oracle_sql(
                CAST(sum(len({toks})) AS BIGINT) AS sum_dl
         FROM {table} GROUP BY 1 ORDER BY routing
     """
+
+
+# ---------------------------------------------------------------------------
+# matrix_stats aggregation (ES `matrix_stats` — field-pair moments)
+# ---------------------------------------------------------------------------
+
+
+def matrix_stats_agg(
+    docs: DataFrame, x_field: str = "n_chars", text_col: str = "text"
+) -> DataFrame:
+    """ES `matrix_stats` over the field pair (x_field, doc token length):
+    count, per-field mean/variance, covariance, correlation — the moments
+    ES reports per field pair (kurtosis/skewness omitted: not exposed by
+    Spark/DuckDB as shared-definition builtins; documented subset).
+
+    One scan, map-side partial moments, 1-row final aggregate — the same
+    no-join shape as stats_agg; at any corpus size the shuffle is the
+    constant-width moment vector. Population (not sample) variance and
+    covariance, matching ES.
+    """
+    toks = tokens(text_col)
+    return docs.select(
+        F.col(x_field).cast("double").alias("x"),
+        F.size(toks).cast("double").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.round(F.avg("x"), SCORE_DECIMALS).alias("mean_x"),
+        F.round(F.avg("y"), SCORE_DECIMALS).alias("mean_y"),
+        F.round(F.var_pop("x"), SCORE_DECIMALS).alias("var_x"),
+        F.round(F.var_pop("y"), SCORE_DECIMALS).alias("var_y"),
+        F.round(F.covar_pop("x", "y"), SCORE_DECIMALS).alias("covariance"),
+        F.round(F.corr("x", "y"), SCORE_DECIMALS).alias("correlation"),
+    )
+
+
+def matrix_stats_oracle_sql(
+    x_field: str = "n_chars", table: str = "documents", text_col: str = "text"
+) -> str:
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    return f"""
+        WITH f AS (
+          SELECT CAST({x_field} AS DOUBLE) AS x,
+                 CAST(len({toks}) AS DOUBLE) AS y
+          FROM {table}
+        )
+        SELECT count(*) AS doc_count,
+               round(avg(x), {SCORE_DECIMALS}) AS mean_x,
+               round(avg(y), {SCORE_DECIMALS}) AS mean_y,
+               round(var_pop(x), {SCORE_DECIMALS}) AS var_x,
+               round(var_pop(y), {SCORE_DECIMALS}) AS var_y,
+               round(covar_pop(x, y), {SCORE_DECIMALS}) AS covariance,
+               round(corr(x, y), {SCORE_DECIMALS}) AS correlation
+        FROM f
+    """

@@ -410,3 +410,54 @@ WHERE abs(len(term) - {len(term.lower())}) <= {int(max_edits)}
 ORDER BY dist ASC, df DESC, suggestion ASC
 LIMIT {int(size)}
 """
+
+
+# ---------------------------------------------------------------------------
+# completion suggester (ES `completion` — prefix autocomplete)
+# ---------------------------------------------------------------------------
+
+
+def completion_suggest(
+    vocab_df: DataFrame, prefix: str, size: int = 5
+) -> DataFrame:
+    """ES completion suggester: prefix autocomplete over the term
+    dictionary ranked by weight (df here), (df DESC, term ASC),
+    capped at `size`. ES serves this from an in-memory FST; the
+    relational equivalent is a StringStartsWith filter on the
+    dictionary — on a store the prefix pushes into the term-sorted
+    posting files' scan (row-group skipping), the same pushdown
+    search_store_prefix proves. Postings and documents are never read."""
+    p = prefix.lower()
+    return (
+        vocab_df.select("term", "df")
+        .where(F.col("term").startswith(p) & (F.col("term") != F.lit(p)))
+        .select(
+            F.col("term").alias("suggestion"), F.col("df").cast("long").alias("df")
+        )
+        .orderBy(F.col("df").desc(), F.col("suggestion").asc())
+        .limit(int(size))
+    )
+
+
+def completion_suggest_oracle_sql(
+    prefix: str,
+    size: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    p = prefix.lower().replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+)
+SELECT term AS suggestion, CAST(df AS BIGINT) AS df
+FROM dfreq
+WHERE starts_with(term, '{p}') AND term != '{p}'
+ORDER BY df DESC, suggestion ASC
+LIMIT {int(size)}
+"""

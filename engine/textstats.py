@@ -153,3 +153,70 @@ SELECT {id_col} AS doc_id,
   md5(regexp_replace(lower(trim(coalesce({text_col}, ''))), '\\s+', ' ', 'g')) AS fp
 FROM {table}
 """
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText-style
+    quality filters for machine-generated or boilerplate text: the
+    fraction of repeated tokens and of repeated token 3-grams inside each
+    document (1 - distinct/total; 0.0 when fewer than one unit exists).
+
+    Scale shape: pure JVM array expressions (sequence + transform +
+    array_distinct) — per-doc local, shuffle-free, codegen; at any corpus
+    size this is a map-only pass. A doc's n-gram list is O(doc length),
+    never materialized across rows."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    dup_tok = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # guard n < 3 explicitly: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    # it does not produce an empty sequence
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + F.lit(1)),
+                F.element_at(toks, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    dup_gram = F.when(
+        ng > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / ng.cast("double"),
+    ).otherwise(F.lit(0.0))
+    r = lambda c: F.round(c, SCORE_DECIMALS)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        r(dup_tok).alias("dup_token_frac"),
+        r(dup_gram).alias("dup_3gram_frac"),
+    )
+
+
+def repetition_stats_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+), g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(t) > 0
+        THEN 1.0 - len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END, {SCORE_DECIMALS}) AS dup_token_frac,
+  round(CASE WHEN len(grams) > 0
+        THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) ELSE 0.0 END, {SCORE_DECIMALS}) AS dup_3gram_frac
+FROM g
+"""

@@ -44,3 +44,25 @@ def test_stratified_sample_deterministic_across_parallelism(spark, docs_mid):
     n_en_total = sum(1 for v in langs.values() if v == "en")
     n_en_kept = sum(1 for d in ka if langs[d] == "en")
     assert n_en_kept == n_en_total
+
+
+def test_repetition_stats_edges(spark):
+    from engine.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # all distinct
+            (2, "x x x x x x"),          # fully repeated
+            (3, "one two"),              # < 3 tokens: no 3-grams
+            (4, ""),                     # empty
+            (5, "p q r p q r p q r"),    # repeated 3-gram pattern
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_token_frac"] == 0.0 and got[1]["dup_3gram_frac"] == 0.0
+    assert got[2]["dup_token_frac"] > 0.8 and got[2]["dup_3gram_frac"] > 0.7
+    assert got[3]["dup_3gram_frac"] == 0.0  # guard: no downward sequence
+    assert got[4]["n_tokens"] == 0 and got[4]["dup_token_frac"] == 0.0
+    # 9 tokens -> 7 grams, distinct grams = 3 -> 1 - 3/7
+    assert abs(got[5]["dup_3gram_frac"] - (1 - 3 / 7)) < 1e-3

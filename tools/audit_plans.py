@@ -299,6 +299,11 @@ def main() -> None:
             [r"(?s)WindowGroupLimit.*WindowGroupLimit"],
             [r"Join", r"(?s)(?:Scan parquet.*){3}"],
         ),
+        # matrix_stats: one scan, map-side partial moments, 1-row final —
+        # no join at all
+        "matrix_stats_agg": ([r"HashAggregate"], [r"Join"]),
+        # repetition stats: per-doc-local array expressions, shuffle-free
+        "repetition_stats": ([], [r"Exchange", r"Join"]),
         # phrase suggester: per-position best is the WindowGroupLimit pair;
         # the positions relation (a few literal rows) broadcasts against
         # the dictionary (a bounded BroadcastNestedLoopJoin on the length
