@@ -525,7 +525,14 @@ def matrix_stats_agg(
         F.round(F.var_pop("x"), SCORE_DECIMALS).alias("var_x"),
         F.round(F.var_pop("y"), SCORE_DECIMALS).alias("var_y"),
         F.round(F.covar_pop("x", "y"), SCORE_DECIMALS).alias("covariance"),
-        F.round(F.corr("x", "y"), SCORE_DECIMALS).alias("correlation"),
+        # zero-variance / single-row input: Spark corr yields NaN where
+        # DuckDB yields NULL — normalize to NULL for the oracle contract
+        F.round(
+            F.when(F.isnan(F.corr("x", "y")), F.lit(None)).otherwise(
+                F.corr("x", "y")
+            ),
+            SCORE_DECIMALS,
+        ).alias("correlation"),
     )
 
 

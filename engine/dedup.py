@@ -151,9 +151,12 @@ def md5_h1h2(col) -> tuple:
     )
 
 
-def _bucket60(col) -> F.Column:
-    """60-bit md5 bucket key of a string column (same cross-engine contract
-    as md5_h1h2; compact fixed-width LSH shuffle key)."""
+def md5_60bit(col) -> F.Column:
+    """60-bit md5 key of a string column (same cross-engine contract as
+    md5_h1h2: DuckDB twin is ('0x' || substr(md5(s), 1, 15))::BIGINT).
+    THE one implementation of the 60-bit hash bridge — LSH bucket keys,
+    sliced export, and stratified sampling all reuse it so the
+    cross-engine bit-identity has a single definition."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -326,7 +329,7 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    _bucket60(_slice_str(i)).alias("bucket"),
+                    md5_60bit(_slice_str(i)).alias("bucket"),
                 )
                 for i in range(bands)
             ])

@@ -295,6 +295,8 @@ def phrase_suggest(
     compare; per-position best is the row_number()<=1 WindowGroupLimit
     pair, and the positions relation (a few literal rows) broadcasts."""
     toks = [t for t in phrase.lower().split() if t]
+    if not toks:
+        raise ValueError("phrase_suggest requires a non-empty phrase")
     pos_df = spark.createDataFrame(
         list(enumerate(toks)), "pos long, input_term string"
     )
@@ -339,6 +341,8 @@ def phrase_suggest_oracle_sql(
     text_col: str = "text",
 ) -> str:
     toks = [t for t in phrase.lower().split() if t]
+    if not toks:
+        raise ValueError("phrase_suggest requires a non-empty phrase")
     pos_values = ", ".join(
         "({}, '{}')".format(i, t.replace("'", "''")) for i, t in enumerate(toks)
     )
@@ -426,11 +430,13 @@ def completion_suggest(
     relational equivalent is a StringStartsWith filter on the
     dictionary — on a store the prefix pushes into the term-sorted
     posting files' scan (row-group skipping), the same pushdown
-    search_store_prefix proves. Postings and documents are never read."""
+    search_store_prefix proves. Postings and documents are never read.
+    A term exactly equal to the prefix IS returned (ES parity: a fully
+    typed word still suggests itself)."""
     p = prefix.lower()
     return (
         vocab_df.select("term", "df")
-        .where(F.col("term").startswith(p) & (F.col("term") != F.lit(p)))
+        .where(F.col("term").startswith(p))
         .select(
             F.col("term").alias("suggestion"), F.col("df").cast("long").alias("df")
         )
@@ -457,7 +463,7 @@ WITH toks AS (
 )
 SELECT term AS suggestion, CAST(df AS BIGINT) AS df
 FROM dfreq
-WHERE starts_with(term, '{p}') AND term != '{p}'
+WHERE starts_with(term, '{p}')
 ORDER BY df DESC, suggestion ASC
 LIMIT {int(size)}
 """

@@ -51,6 +51,10 @@ def percolate(
         (int(qid), sorted(set(t.lower() for t in terms)), int(mm))
         for qid, terms, mm in queries
     ]
+    if not any(terms for _, terms, _ in qrows):
+        raise ValueError(
+            "percolate requires at least one stored query with terms"
+        )
     qdf = spark.createDataFrame(
         qrows, "query_id long, terms array<string>, min_match long"
     )
@@ -83,6 +87,10 @@ def percolate_oracle_sql(
         for qid, terms, mm in queries
         for t in sorted(set(x.lower() for x in terms))
     )
+    if not qvals:
+        raise ValueError(
+            "percolate requires at least one stored query with terms"
+        )
     return f"""
 WITH toks AS (
   SELECT DISTINCT {id_col} AS doc_id,

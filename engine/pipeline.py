@@ -46,27 +46,24 @@ def training_corpus(
     """Kept documents with their features: (doc_id, lang_pred, n_tokens,
     stopword_ratio). A doc is kept iff predicted language == `lang`,
     min_tokens <= n_tokens <= max_tokens, punct_ratio <= max_punct_ratio,
-    stopword_ratio >= min_stopword_ratio, and it is the smallest doc_id of
-    its exact-content group (md5 over lowercased whitespace-normalized
-    text)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text_col)
-    n_tokens = F.size(toks).cast("long")
-    n_chars = F.length(t)
-    punct_ratio = F.round(
-        F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
-        / F.greatest(n_chars, F.lit(1)).cast("double"),
-        SCORE_DECIMALS,
-    )
-    stopword_ratio = F.round(
-        F.size(
-            F.array_intersect(
-                toks, F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
-            )
+    stopword_ratio >= min_stopword_ratio (measured against `lang`'s OWN
+    stopword lexicon — a French pipeline gates on French stopwords), and
+    it is the smallest doc_id of its exact-content group (md5 over
+    lowercased whitespace-normalized text).
+
+    The quality signals are the SAME column expressions quality_features
+    publishes (engine/textstats.py punct_ratio_col / stopword_ratio_col) —
+    one definition, no drift."""
+    if lang not in LANG_LEXICONS:
+        raise ValueError(
+            f"no stopword lexicon for lang={lang!r}; known: {sorted(LANG_LEXICONS)}"
         )
-        / F.greatest(n_tokens, F.lit(1)).cast("double"),
-        SCORE_DECIMALS,
-    )
+    from engine.textstats import punct_ratio_col, stopword_ratio_col
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = F.size(tokens(text_col)).cast("long")
+    punct_ratio = punct_ratio_col(text_col)
+    stopword_ratio = stopword_ratio_col(text_col, lang)
     fp = F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
     feats = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -108,18 +105,11 @@ def stratified_sample(
     and the oracle regenerates it exactly (md5 is bit-identical in Spark
     and DuckDB). `rates`: strat value -> keep fraction; values not listed
     use rates.get('*', 0.0). Returns kept (doc_id, strat_col, u)."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 60))
-    )
+    from engine.dedup import md5_60bit
+
+    u = md5_60bit(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(float(1 << 60))
     default = float(rates.get("*", 0.0))
     rate = F.lit(default)
     for val, frac in sorted(rates.items()):
@@ -153,10 +143,13 @@ def stratified_sample_oracle_sql(
         for val, frac in sorted(rates.items())
         if val != "*"
     )
+    # CASE with no WHEN arms is invalid SQL — default-only rates become a
+    # plain literal (the engine's when-chain degenerates identically)
+    rate_expr = f"(CASE {cases} ELSE {default} END)" if cases else str(default)
     return f"""
 SELECT {id_col} AS doc_id, {strat_col}, round({u}, {SCORE_DECIMALS}) AS u
 FROM {table}
-WHERE {u} < (CASE {cases} ELSE {default} END)
+WHERE {u} < {rate_expr}
 """
 
 
@@ -170,8 +163,12 @@ def training_corpus_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
+    if lang not in LANG_LEXICONS:
+        raise ValueError(
+            f"no stopword lexicon for lang={lang!r}; known: {sorted(LANG_LEXICONS)}"
+        )
     toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
-    stop = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    stop = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
     score = {
         lg: f"len(list_intersect(list_distinct({toks}), [{', '.join(repr(w) for w in lex)}]))"
         for lg, lex in sorted(LANG_LEXICONS.items())

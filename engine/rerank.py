@@ -169,6 +169,10 @@ def rescore_topk(
 
     Returns (doc_id, first_score, score), ordered (score desc, doc_id asc).
     """
+    # localCheckpoint the window_size-row first-pass result: it is consumed
+    # TWICE (the broadcast window-id filter and the final left join), and
+    # without materialization the whole first-pass corpus aggregation +
+    # top-N subtree would execute twice in one job
     first = (
         bm25_contribs(
             spark, docs, query_terms, cfg=cfg, id_col=id_col, text_col=text_col
@@ -177,6 +181,7 @@ def rescore_topk(
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("first_score"))
         .orderBy(F.col("first_score").desc(), F.col("doc_id").asc())
         .limit(window_size)
+        .localCheckpoint()
     )
     # the window doc-id set is a window_size-row broadcast: the rescore
     # contribs are filtered to it BEFORE their groupBy, so the second

@@ -1046,40 +1046,44 @@ def exists_query(
     spark: SparkSession,
     docs: DataFrame,
     field: str = "text",
-    k: int = 10**9,
+    k: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """ES `exists` query on an analyzed text field: matches docs whose
     field has at least one INDEXED value — ES 5.5 semantics where an
     empty/whitespace-only string analyzes to zero tokens and therefore
     does NOT exist, while any tokenizable content does. Constant score,
-    doc_id-asc page. Pure JVM filter before any limit; on a store this is
-    served from doc_len > 0 metadata without touching postings."""
+    doc_id-asc. Pure JVM filter; on a store this is served from
+    doc_len > 0 metadata without touching postings.
+
+    `k=None` returns ALL matches (plain sort, no limit) — do NOT emulate
+    "all" with a huge k: TakeOrderedAndProject allocates a k-sized buffer
+    per task, so limit(10^9) is an executor OOM, not a no-op."""
     from engine.analysis import tokens
 
     matched = docs.where(
         F.col(field).isNotNull() & (F.size(tokens(field)) > 0)
     )
-    return (
-        matched.select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
-        .orderBy(F.col("doc_id").asc())
-        .limit(k)
-    )
+    out = matched.select(
+        F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score")
+    ).orderBy(F.col("doc_id").asc())
+    return out if k is None else out.limit(int(k))
 
 
 def exists_oracle_sql(
     field: str = "text",
-    k: int = 10**9,
+    k: int | None = None,
     table: str = "documents",
     id_col: str = "doc_id",
 ) -> str:
+    limit = "" if k is None else f"LIMIT {int(k)}"
     return f"""
 SELECT {id_col} AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM {table}
 WHERE {field} IS NOT NULL
   AND len(regexp_extract_all(lower({field}), '{TOKEN_PATTERN}')) > 0
 ORDER BY doc_id ASC
-LIMIT {k}
+{limit}
 """
 
 
@@ -1096,11 +1100,11 @@ def sliced_export(
     key is md5-derived from the doc id (not the row's position), so slices
     are stable across runs and parallelism levels and the oracle
     regenerates them exactly. Returns (doc_id, slice_id)."""
+    from engine.dedup import md5_60bit
+
     if not (0 <= slice_id < max_slices):
         raise ValueError("slice_id must be in [0, max_slices)")
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_60bit(F.col(id_col).cast("string"))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.pmod(h, F.lit(int(max_slices))).alias("slice_id"),

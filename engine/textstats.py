@@ -42,24 +42,40 @@ def _nz(x: Column) -> Column:
     return F.greatest(x, F.lit(1)).cast("double")
 
 
+def punct_ratio_col(text_col: str = "text") -> Column:
+    """Punctuation-to-chars ratio (rounded) — shared by quality_features
+    and training_corpus so the signal has one definition."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+    return F.round(n_punct / _nz(F.length(t)), SCORE_DECIMALS)
+
+
+def stopword_ratio_col(text_col: str = "text", lang: str = "en") -> Column:
+    """Distinct-stopword-hits to total-tokens ratio (rounded) for `lang`'s
+    lexicon — shared by quality_features and training_corpus."""
+    toks = tokens(text_col)
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_LEXICONS[lang]]))
+    )
+    return F.round(n_stop / _nz(F.size(toks)), SCORE_DECIMALS)
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality signals (all ratios rounded for oracle comparison)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
     n_upper = F.size(F.regexp_extract_all(t, F.lit(UPPER_RE), 0))
-    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])))
     r = lambda c: F.round(c, SCORE_DECIMALS)
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         r(n_chars / _nz(n_tokens)).alias("avg_token_len"),
-        r(n_punct / _nz(n_chars)).alias("punct_ratio"),
+        punct_ratio_col(text_col).alias("punct_ratio"),
         r(n_upper / _nz(n_chars)).alias("upper_ratio"),
-        r(n_stop / _nz(n_tokens)).alias("stopword_ratio"),
+        stopword_ratio_col(text_col, "en").alias("stopword_ratio"),
     )
 
 

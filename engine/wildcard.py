@@ -134,12 +134,15 @@ def regexp_match(
     Pattern contract: the supported operators are the subset common to
     Java regex (Spark rlike) and RE2 (DuckDB): literals, char classes,
     alternation, ?, *, +, {m,n} — no backreferences or lookaround (Lucene's
-    regexp syntax is similarly restricted). Same CONSTANT_SCORE multi-term
-    rewrite and 100 TB shape as wildcard_match: the regex runs JVM-side on
-    the exploded token stream before the distinct's shuffle; on a store,
-    any literal prefix of the pattern pushes StringStartsWith for row-group
-    skipping exactly as leading_literal does for wildcard."""
-    anchored = f"^(?:{pattern.lower()})$"
+    regexp syntax is similarly restricted). The pattern is used VERBATIM
+    (never case-folded — lowercasing a regex corrupts shorthand classes,
+    \\D -> \\d inverts the match); indexed terms are already lowercase, so
+    patterns should target lowercase literals. Same CONSTANT_SCORE
+    multi-term rewrite and 100 TB shape as wildcard_match: the regex runs
+    JVM-side on the exploded token stream before the distinct's shuffle;
+    on a store, any literal prefix of the pattern pushes StringStartsWith
+    for row-group skipping exactly as leading_literal does for wildcard."""
+    anchored = f"^(?:{pattern})$"
     matched = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -163,7 +166,7 @@ def regexp_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    pat = pattern.lower().replace("'", "''")
+    pat = pattern.replace("'", "''")
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,

@@ -83,3 +83,18 @@ def test_phrase_suggest_semantics(spark):
     # no candidate within 2 edits: input kept verbatim, dist -1, df 0
     assert by_pos[3]["suggestion"] == "zzzzzzzzzz"
     assert by_pos[3]["dist"] == -1 and by_pos[3]["df"] == 0
+
+
+def test_completion_includes_exact_term(spark):
+    from engine.fuzzy import completion_suggest
+
+    vocab = spark.createDataFrame(
+        [("spark", 10), ("sparkle", 90), ("spar", 5), ("zebra", 99)],
+        "term string, df long",
+    )
+    got = [
+        (r["suggestion"], r["df"])
+        for r in completion_suggest(vocab, "spark", size=5).collect()
+    ]
+    # df-desc ranking; the fully typed word suggests itself (ES parity)
+    assert got == [("sparkle", 90), ("spark", 10)]
