@@ -329,6 +329,23 @@ def _q_wildcard_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGEXP = "[kq].*y"
 
 
+def _q_regexp_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query answered from the persisted index: the pattern's
+    leading literal (none here — dictionary scan, as Lucene warns) plus
+    anchored RLIKE select matching terms' blocks, decoded doc-ids-only."""
+    from engine.wildcard import search_store_regexp
+
+    store = _shared_store(spark, sf_dir)
+    hits = search_store_regexp(spark, store, _REGEXP, k=None)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def _q_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.wildcard import regexp_match
 
@@ -1318,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_match": _q_wildcard_match,
         "wildcard_search_store": _q_wildcard_search_store,
         "regexp_match": _q_regexp_match,
+        "regexp_search_store": _q_regexp_search_store,
         "percolate_matches": _q_percolate,
         "collapse_source": _q_collapse_source,
         "rescore_topk": _q_rescore_topk,
@@ -1447,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_match": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
         "wildcard_search_store": _wc().wildcard_oracle_sql(_WILDCARD, k=25),
         "regexp_match": _wc().regexp_oracle_sql(_REGEXP, k=25),
+        "regexp_search_store": _wc().regexp_oracle_sql(_REGEXP, k=25),
         "percolate_matches": _pc().percolate_oracle_sql(_PERC_QUERIES),
         "collapse_source": _rr().collapse_oracle_sql(
             FLAGSHIP_TERMS, "source", k=10

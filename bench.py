@@ -43,6 +43,7 @@ def main() -> None:
         "bm25_topk_bool", "bm25_topk_bool_store",
         "fuzzy_match", "fuzzy_search_store",
         "wildcard_match", "wildcard_search_store", "regexp_match",
+        "regexp_search_store",
         "collapse_source", "rescore_topk", "percolate_matches",
         "training_corpus", "stratified_sample", "exists_query",
         "sliced_export", "matrix_stats_agg", "completion_suggest",

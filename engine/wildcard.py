@@ -159,6 +159,49 @@ def regexp_match(
     )
 
 
+_REGEX_META = set(".?*+{}[]()|\\^$")
+
+
+def regexp_leading_literal(pattern: str) -> str:
+    """Chars before the first regex metacharacter — the pushdown-able
+    prefix (same role as leading_literal for wildcard patterns)."""
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            return pattern[:i]
+    return pattern
+
+
+def search_store_regexp(
+    spark: SparkSession,
+    store,
+    pattern: str,
+    k: int | None = 10,
+) -> DataFrame:
+    """ES regexp query over a persisted store: the pattern's leading
+    literal pushes StringStartsWith into the posting-block scan (row-group
+    skipping on term-sorted files; same degradation warning as Lucene for
+    patterns with no literal prefix), the anchored RLIKE then selects
+    matching terms' blocks, decoded doc-ids-only; superseded docs excluded
+    via the live-docs join (search_store_wildcard contract)."""
+    from engine.merge import live_doc_ids
+    from engine.postings import decode_postings_doc_ids
+
+    blocks = store.postings(spark)
+    lead = regexp_leading_literal(pattern)
+    if lead:
+        blocks = blocks.where(F.col("term").startswith(lead))
+    blocks = blocks.where(F.col("term").rlike(f"^(?:{pattern})$"))
+    matched = decode_postings_doc_ids(blocks, codec=store.codec)
+    if len(store.live_segments()) > 1:
+        matched = matched.join(
+            live_doc_ids(store.docs(spark)).select("doc_id"), "doc_id"
+        )
+    scored = matched.select("doc_id", F.lit(1.0).alias("score"))
+    if k is None:
+        return scored
+    return scored.orderBy(F.col("doc_id").asc()).limit(k)
+
+
 def regexp_oracle_sql(
     pattern: str,
     k: int = 10,

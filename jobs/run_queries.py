@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--wildcard", action="append", default=None,
                     help="constant-score wildcard query (ES `wildcard`: "
                          "* = any sequence, ? = one char); repeatable")
+    ap.add_argument("--regexp", action="append", default=None,
+                    help="constant-score regexp query (ES `regexp`, "
+                         "Lucene whole-term anchoring; the pattern's "
+                         "literal prefix pushes into the scan); repeatable")
+    ap.add_argument("--complete", action="append", default=None,
+                    help="completion suggester (ES `completion`): prefix "
+                         "autocomplete from the term dictionary ranked by "
+                         "df; repeatable")
     ap.add_argument("--fuzzy", action="append", default=None,
                     help="fuzzy term query (ES `fuzzy`): Levenshtein "
                          "expansion against the term dictionary, scored as "
@@ -98,16 +106,20 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
     if not (args.query or args.phrase or args.prefix or args.fuzzy
-            or args.wildcard or args.suggest or args.count or args.mget):
+            or args.wildcard or args.regexp or args.complete
+            or args.suggest or args.count or args.mget):
         ap.error("need at least one of --query / --phrase / --prefix / "
-                 "--fuzzy / --wildcard / --suggest / --count / --mget")
+                 "--fuzzy / --wildcard / --regexp / --complete / "
+                 "--suggest / --count / --mget")
     if (args.phrase or args.prefix or args.fuzzy or args.wildcard
+            or args.regexp or args.complete
             or args.suggest or args.count or args.mget) and (
             args.routing or args.routing_key or args.alias):
         # --routing-key resolves into a routing value below, so it must be
         # rejected here too or the reader-served families would crash later
-        ap.error("--phrase/--prefix/--fuzzy/--wildcard/--suggest/--count/"
-                 "--mget do not take --routing/--routing-key/--alias")
+        ap.error("--phrase/--prefix/--fuzzy/--wildcard/--regexp/--complete/"
+                 "--suggest/--count/--mget do not take "
+                 "--routing/--routing-key/--alias")
     bool_opts = args.must_not is not None or args.min_should_match is not None
     if bool_opts and args.alias:
         ap.error("--must-not/--min-should-match do not take --alias")
@@ -181,6 +193,38 @@ def main() -> None:
             "k": args.k,
             "latency_ms_p50": round(statistics.median(lats), 1),
             "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    for rx in args.regexp or []:
+        from engine.wildcard import search_store_regexp
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = search_store_regexp(spark, store, rx, k=args.k).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "regexp": rx,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
+
+    for cp in args.complete or []:
+        from engine.fuzzy import completion_suggest
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = completion_suggest(
+                store.term_stats_df(spark), cp, size=args.k
+            ).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "complete": cp,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["suggestion"], r["df"]) for r in rows],
         }))
 
     for wc in args.wildcard or []:

@@ -299,6 +299,10 @@ def main() -> None:
             [r"(?s)WindowGroupLimit.*WindowGroupLimit"],
             [r"Join", r"(?s)(?:Scan parquet.*){3}"],
         ),
+        # store-side regexp: anchored RLIKE selects matching terms' blocks,
+        # decoded doc-ids-only (this pattern has no literal prefix, so it is
+        # the documented dictionary-scan degradation, never a cross join)
+        "regexp_search_store": ([], [r"CartesianProduct"]),
         # matrix_stats: one scan, map-side partial moments, 1-row final —
         # no join at all
         "matrix_stats_agg": ([r"HashAggregate"], [r"Join"]),
