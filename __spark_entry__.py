@@ -818,6 +818,14 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (deterministic unigram subset): mean
+    token log-prob + perplexity under the corpus's own unigram model."""
+    from engine.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.searchapi import exists_query
 
@@ -1362,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats_agg": _q_matrix_stats,
         "completion_suggest": _q_completion_suggest,
         "repetition_stats": _q_repetition_stats,
+        "unigram_logprob": _q_unigram_logprob,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1534,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_stats_agg": _ag().matrix_stats_oracle_sql("n_chars"),
         "completion_suggest": _fz().completion_suggest_oracle_sql("s", size=6),
         "repetition_stats": _ts().repetition_stats_oracle_sql(),
+        "unigram_logprob": _ts().unigram_logprob_oracle_sql(),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),

@@ -47,7 +47,7 @@ def main() -> None:
         "collapse_source", "rescore_topk", "percolate_matches",
         "training_corpus", "stratified_sample", "exists_query",
         "sliced_export", "matrix_stats_agg", "completion_suggest",
-        "repetition_stats",
+        "repetition_stats", "unigram_logprob",
         "quality_features", "token_count_bpe", "lang_id",
         "fingerprint", "exact_duplicates", "cosine_topk", "ann_lsh_topk",
         "ivf_ann_topk", "ann_lsh_pairs",

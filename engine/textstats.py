@@ -236,3 +236,56 @@ SELECT doc_id,
         THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) ELSE 0.0 END, {SCORE_DECIMALS}) AS dup_3gram_frac
 FROM g
 """
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality score, the deterministic unigram
+    subset: per-doc mean log-probability of its tokens under the corpus's
+    OWN unigram distribution (p(t) = count(t) / total tokens), plus the
+    perplexity exp(-mean). CCNet proper uses a pretrained KenLM 5-gram;
+    the unigram corpus-self model is the deterministic, oracle-checkable
+    stand-in with the same filtering shape (low mean logprob = gibberish /
+    OOV-heavy / boilerplate-skewed docs).
+
+    Scale shape: the unigram model is a (term, logp) relation derived from
+    one token-count aggregate; scoring is a broadcast-joined second pass
+    (vocab ≪ corpus) + one per-doc aggregate — two shuffles total, both
+    key-partitioned, no driver-side model state."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), SCORE_DECIMALS).alias("mean_logprob"),
+            F.round(F.exp(-F.avg("logp")), SCORE_DECIMALS).alias("perplexity"),
+        )
+    )
+
+
+def unigram_logprob_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), counts AS (
+  SELECT term, count(*) AS cnt FROM t GROUP BY term
+), total AS (
+  SELECT sum(cnt) AS total FROM counts
+), model AS (
+  SELECT term, ln(cnt / total.total) AS logp FROM counts CROSS JOIN total
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(m.logp), {SCORE_DECIMALS}) AS mean_logprob,
+       round(exp(-avg(m.logp)), {SCORE_DECIMALS}) AS perplexity
+FROM t JOIN model m USING (term)
+GROUP BY t.doc_id
+"""

@@ -66,3 +66,22 @@ def test_repetition_stats_edges(spark):
     assert got[4]["n_tokens"] == 0 and got[4]["dup_token_frac"] == 0.0
     # 9 tokens -> 7 grams, distinct grams = 3 -> 1 - 3/7
     assert abs(got[5]["dup_3gram_frac"] - (1 - 3 / 7)) < 1e-3
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    from engine.textstats import unigram_logprob
+
+    # common-word doc vs a doc of corpus-rare tokens: the rare doc must
+    # score lower mean logprob (higher perplexity) under the corpus model
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat cat"),
+            (2, "zzq xkw vvt"),
+            (3, "the cat zzq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["mean_logprob"] > got[3]["mean_logprob"] > got[2]["mean_logprob"]
+    assert got[2]["perplexity"] > got[1]["perplexity"]
+    assert got[1]["n_tokens"] == 5
