@@ -826,6 +826,64 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+# PII injection shared by _q_pii_redact and its oracle: the synthetic corpus
+# carries no real PII, so the query plants deterministic addresses per doc —
+# the redaction (and its counts) then does real work the value-hash checks.
+_PII_SUFFIX_SPARK = lambda: (  # noqa: E731 — tiny shared expression factory
+    F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact doc"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+)
+_PII_SUFFIX_SQL = (
+    "coalesce(text, '') || ' contact doc' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 555-123-4567 at 10.0.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training context-window chunking: overlapping 12-token windows every
+    10 tokens, partition-local (zero shuffles)."""
+    from engine.trainprep import token_chunks
+
+    return token_chunks(_docs(spark, sf_dir), window=12, stride=10)
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup over disjoint 8-token chunks:
+    WindowGroupLimit keep-first per chunk md5, docs reassembled."""
+    from engine.trainprep import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), chunk_tokens=8)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones/IPv4 -> typed tags + counts) over docs
+    with deterministically planted addresses (see _PII_SUFFIX_SPARK)."""
+    from engine.trainprep import pii_redact
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _PII_SUFFIX_SPARK().alias("text")
+    )
+    return pii_redact(docs)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap of training docs
+    (doc_id % 10 != 0) against the broadcast benchmark split
+    (doc_id % 10 == 0) — the 10% split lands on planted near-dup pairs at
+    every sf, so the check is non-vacuous."""
+    from engine.trainprep import contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return contamination(train, bench, k=8)
+
+
 def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.searchapi import exists_query
 
@@ -971,6 +1029,41 @@ def _q_date_histogram(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return date_histogram(ev, "ts", interval="day", value_col="value")
+
+
+def _q_pipeline_metrics(spark, sf_dir):
+    """ES pipeline aggs (derivative / cumulative_sum / moving_avg /
+    serial_diff / bucket_script) over the daily date_histogram — one window
+    pass over the reduce-phase bucket relation (bounded by time span, not
+    corpus size), exactly ES's reduce-phase pipeline semantics."""
+    from engine.aggs import date_histogram
+    from engine.aggs_pipeline import pipeline_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = date_histogram(ev, "ts", interval="day", value_col="value")
+    return pipeline_metrics(hist, "sum_value", moving_window=3, serial_lag=2)
+
+
+def _q_bucket_siblings(spark, sf_dir):
+    """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket + max_bucket
+    key) in one row over the daily histogram's buckets."""
+    from engine.aggs import date_histogram
+    from engine.aggs_pipeline import bucket_siblings
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = date_histogram(ev, "ts", interval="day", value_col="value")
+    return bucket_siblings(hist, "sum_value")
+
+
+def _q_bucket_select_sort(spark, sf_dir):
+    """ES bucket_selector (doc_count gate) + bucket_sort (top-N buckets by
+    the sum metric, deterministic bucket-key tie-break)."""
+    from engine.aggs import date_histogram
+    from engine.aggs_pipeline import bucket_select_sort
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = date_histogram(ev, "ts", interval="day", value_col="value")
+    return bucket_select_sort(hist, "sum_value", min_doc_count=2, top_n=10)
 
 
 def _q_stats_agg(spark, sf_dir):
@@ -1371,6 +1464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _q_completion_suggest,
         "repetition_stats": _q_repetition_stats,
         "unigram_logprob": _q_unigram_logprob,
+        "token_chunks": _q_token_chunks,
+        "chunk_dedup": _q_chunk_dedup,
+        "pii_redact": _q_pii_redact,
+        "contamination": _q_contamination,
         "simhash_near_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1387,6 +1484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "terms_agg": _q_terms_agg,
         "date_histogram_agg": _q_date_histogram,
+        "pipeline_metrics": _q_pipeline_metrics,
+        "bucket_siblings": _q_bucket_siblings,
+        "bucket_select_sort": _q_bucket_select_sort,
         "stats_agg": _q_stats_agg,
         "cardinality_agg": _q_cardinality_agg,
         "histogram_agg": _q_histogram_agg,
@@ -1544,6 +1644,14 @@ def oracle_sql() -> dict[str, str]:
         "completion_suggest": _fz().completion_suggest_oracle_sql("s", size=6),
         "repetition_stats": _ts().repetition_stats_oracle_sql(),
         "unigram_logprob": _ts().unigram_logprob_oracle_sql(),
+        "token_chunks": _tp().token_chunks_oracle_sql(window=12, stride=10),
+        "chunk_dedup": _tp().chunk_dedup_oracle_sql(chunk_tokens=8),
+        "pii_redact": _tp().pii_redact_oracle_sql(
+            table=f"(SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents)"
+        ),
+        "contamination": _tp().contamination_oracle_sql(
+            train_pred="doc_id % 10 <> 0", bench_pred="doc_id % 10 = 0", k=8
+        ),
         "ann_lsh_topk": _sim().ann_lsh_topk_oracle_sql(
             _ann_query_vec(), k=15, n_bits=12, n_probes=12
         ),
@@ -1584,6 +1692,18 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg": _ag().terms_agg_oracle_sql("lang", size=10, metric_col="n_chars"),
         "date_histogram_agg": _ag().date_histogram_oracle_sql(
             "ts", interval="day", value_col="value"
+        ),
+        "pipeline_metrics": _ap().pipeline_metrics_oracle_sql(
+            _ag().date_histogram_oracle_sql("ts", interval="day", value_col="value"),
+            "sum_value", moving_window=3, serial_lag=2,
+        ),
+        "bucket_siblings": _ap().bucket_siblings_oracle_sql(
+            _ag().date_histogram_oracle_sql("ts", interval="day", value_col="value"),
+            "sum_value",
+        ),
+        "bucket_select_sort": _ap().bucket_select_sort_oracle_sql(
+            _ag().date_histogram_oracle_sql("ts", interval="day", value_col="value"),
+            "sum_value", min_doc_count=2, top_n=10,
         ),
         "stats_agg": _ag().stats_agg_oracle_sql(FLAGSHIP_TERMS),
         "cardinality_agg": _ag().cardinality_agg_oracle_sql("event_type", "user_id"),
@@ -1768,6 +1888,12 @@ def _ab():
     return aggs_bucket
 
 
+def _ap():
+    from engine import aggs_pipeline
+
+    return aggs_pipeline
+
+
 def _sa():
     from engine import searchapi
 
@@ -1802,6 +1928,12 @@ def _ts():
     from engine import textstats
 
     return textstats
+
+
+def _tp():
+    from engine import trainprep
+
+    return trainprep
 
 
 def _dd():
