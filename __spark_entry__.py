@@ -884,6 +884,31 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(train, bench, k=8)
 
 
+# simple_query_string driver queries: one OR-default mixed query exercising
+# must/should/must_not/phrase, one AND-default query
+_SQS_QUERY = 'merge +table -vector "table scan" spark'
+_SQS_AND_QUERY = 'merge table scan'
+
+
+def _q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string (OR default): must/should/must_not/phrase
+    clauses compiled onto the shared bm25_contribs + phrase_scores
+    relations; parser shared verbatim with the SQL oracle."""
+    from engine.querystring import simple_query_string_topk
+
+    return simple_query_string_topk(spark, _docs(spark, sf_dir), _SQS_QUERY, k=20)
+
+
+def _q_simple_query_string_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string with default_operator=and (all bare clauses
+    required)."""
+    from engine.querystring import simple_query_string_topk
+
+    return simple_query_string_topk(
+        spark, _docs(spark, sf_dir), _SQS_AND_QUERY, k=20, default_operator="and"
+    )
+
+
 def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.searchapi import exists_query
 
@@ -1464,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _q_completion_suggest,
         "repetition_stats": _q_repetition_stats,
         "unigram_logprob": _q_unigram_logprob,
+        "simple_query_string": _q_simple_query_string,
+        "simple_query_string_and": _q_simple_query_string_and,
         "token_chunks": _q_token_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "pii_redact": _q_pii_redact,
@@ -1644,6 +1671,12 @@ def oracle_sql() -> dict[str, str]:
         "completion_suggest": _fz().completion_suggest_oracle_sql("s", size=6),
         "repetition_stats": _ts().repetition_stats_oracle_sql(),
         "unigram_logprob": _ts().unigram_logprob_oracle_sql(),
+        "simple_query_string": _qs().simple_query_string_oracle_sql(
+            _SQS_QUERY, k=20
+        ),
+        "simple_query_string_and": _qs().simple_query_string_oracle_sql(
+            _SQS_AND_QUERY, k=20, default_operator="and"
+        ),
         "token_chunks": _tp().token_chunks_oracle_sql(window=12, stride=10),
         "chunk_dedup": _tp().chunk_dedup_oracle_sql(chunk_tokens=8),
         "pii_redact": _tp().pii_redact_oracle_sql(
@@ -1934,6 +1967,12 @@ def _tp():
     from engine import trainprep
 
     return trainprep
+
+
+def _qs():
+    from engine import querystring
+
+    return querystring
 
 
 def _dd():

@@ -88,23 +88,24 @@ def phrase_frequencies(
     )
 
 
-def bm25_phrase_topk(
+def phrase_scores(
     spark: SparkSession,
     docs: DataFrame,
     phrase: list[str],
-    k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact phrase BM25 top-k over a raw document table.
+    """(doc_id, raw_score) for every doc containing the phrase — the
+    UN-truncated, un-rounded phrase BM25 relation. bm25_phrase_topk is
+    round + top-k over this; simple_query_string sums it with term
+    contributions (one expression tree per formula).
 
     score(d) = [sum over phrase positions i of idf(term_i)]
                * ptf / (ptf + k1 * (1 - b + b * |d| / avgdl))
     — the engine's BM25 form (same as bm25_topk, constant (k1+1) factor
     dropped: rank-identical) with tf := phrase frequency and idf := summed
     member-term idfs (Lucene PhraseQuery scoring).
-    Returns (doc_id, score), top-k by (score desc, doc_id asc).
     """
     distinct_terms = sorted(set(phrase))
     q = spark.createDataFrame([(t,) for t in distinct_terms], "term string")
@@ -153,9 +154,27 @@ def bm25_phrase_topk(
         .crossJoin(F.broadcast(idf_sum))
         .select(
             "doc_id",
-            F.round(F.col("idf_sum") * F.col("ptf") / denom, SCORE_DECIMALS).alias(
-                "score"
-            ),
+            (F.col("idf_sum") * F.col("ptf") / denom).alias("raw_score"),
+        )
+    )
+
+
+def bm25_phrase_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase BM25 top-k over a raw document table: round + top-k by
+    (score desc, doc_id asc) over phrase_scores (the shared scoring
+    relation)."""
+    return (
+        phrase_scores(spark, docs, phrase, cfg, id_col, text_col)
+        .select(
+            "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
