@@ -884,6 +884,113 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(train, bench, k=8)
 
 
+def _shared_store_cfg():
+    from engine.config import IndexConfig
+
+    return IndexConfig(routing_col="lang", store_source=True)
+
+
+_MUTATED_CACHE: dict = {}
+
+
+def _cloned_store(spark: SparkSession, sf_dir: str, tag: str):
+    """Snapshot/restore clone of the shared store (file copies — cheap),
+    used by the _delete_by_query/_update_by_query driver queries so the
+    shared store stays immutable for every other query."""
+    key = (sf_dir, tag)
+    if key in _MUTATED_CACHE:
+        return _MUTATED_CACHE[key]
+    import tempfile
+
+    from engine.snapshot import restore, snapshot
+
+    src = _shared_store(spark, sf_dir)
+    repo = tempfile.mkdtemp(prefix=f"sparkgraft_{tag}_repo_")
+    root = tempfile.mkdtemp(prefix=f"sparkgraft_{tag}_")
+    snapshot(src, repo, tag)
+    store = restore(repo, tag, root)
+    _MUTATED_CACHE[key] = store
+    return store
+
+
+def _q_delete_by_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query: tombstone every doc matching `vector` on a
+    snapshot-clone of the store, then search. Equivalent by construction to
+    a bool must_not search (stats stay at stored values until merge —
+    Lucene deleted-doc semantics), which is exactly what the oracle says."""
+    from engine.query import search_store
+    from engine.updates import delete_by_query
+
+    store = _cloned_store(spark, sf_dir, "dbq")
+    if not store.has_deletes():  # idempotent across repeated calls
+        delete_by_query(spark, store, ["vector"])
+    hits = search_store(spark, store, FLAGSHIP_TERMS, k=20)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def _q_update_by_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query: rewrite every doc matching `vector` (the token
+    becomes `tensorx`) on a snapshot-clone, then search the NEW token. The
+    updated versions supersede by last-write-wins; stats now span old+new
+    segments (stored-stats semantics), which the oracle reproduces."""
+    from engine.query import search_store
+    from engine.updates import update_by_query
+
+    store = _cloned_store(spark, sf_dir, "ubq")
+    if len(store.live_segments()) == 1:  # idempotent across repeated calls
+        update_by_query(
+            spark, store, ["vector"],
+            transform=lambda c: F.regexp_replace(c, r"\bvector\b", "tensorx"),
+            cfg=_shared_store_cfg(), batch_id=9001,
+        )
+    hits = search_store(spark, store, ["tensorx"], k=20)
+    return (
+        hits.withColumnRenamed("doc_id", "store_doc_id")
+        .join(F.broadcast(_store_doc_map(spark, store)), "store_doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def _update_by_query_oracle_sql(k: int = 20) -> str:
+    """Score a search for the post-update token: df = number of updated
+    docs, n_docs/avgdl from the union of the original segment and the
+    update segment (old versions still count until merge), tf/dl unchanged
+    by the token-for-token rewrite."""
+    from engine.config import DEFAULT_CONFIG as _C
+
+    toks = f"regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_PATTERN}')"
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks}) AS doc_len,
+         len(list_filter({toks}, t -> t = 'vector')) AS tfv
+  FROM documents
+), base AS (
+  SELECT count(*) AS n0, sum(doc_len) AS s0 FROM dl
+), upd AS (
+  SELECT doc_id, doc_len, tfv FROM dl WHERE tfv > 0
+), params AS (
+  SELECT base.n0 + count(*) AS n_docs,
+         CAST(base.s0 + sum(upd.doc_len) AS DOUBLE)
+           / (base.n0 + count(*)) AS avgdl,
+         count(*) AS dfreq
+  FROM upd CROSS JOIN base GROUP BY base.n0, base.s0
+)
+SELECT upd.doc_id,
+       round( ln(1 + (params.n_docs - params.dfreq + 0.5) / (params.dfreq + 0.5))
+              * (upd.tfv / (upd.tfv + {_C.k1} * (1 - {_C.b} + {_C.b} * upd.doc_len / params.avgdl))),
+              {SCORE_DECIMALS}) AS score
+FROM upd CROSS JOIN params
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # simple_query_string driver queries: one OR-default mixed query exercising
 # must/should/must_not/phrase, one AND-default query
 _SQS_QUERY = 'merge +table -vector "table scan" spark'
@@ -1491,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "simple_query_string": _q_simple_query_string,
         "simple_query_string_and": _q_simple_query_string_and,
+        "delete_by_query_search": _q_delete_by_query_search,
+        "update_by_query_search": _q_update_by_query_search,
         "token_chunks": _q_token_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "pii_redact": _q_pii_redact,
@@ -1671,6 +1780,10 @@ def oracle_sql() -> dict[str, str]:
         "completion_suggest": _fz().completion_suggest_oracle_sql("s", size=6),
         "repetition_stats": _ts().repetition_stats_oracle_sql(),
         "unigram_logprob": _ts().unigram_logprob_oracle_sql(),
+        "delete_by_query_search": bm25_topk_oracle_sql(
+            FLAGSHIP_TERMS, k=20, must_not_terms=["vector"]
+        ),
+        "update_by_query_search": _update_by_query_oracle_sql(k=20),
         "simple_query_string": _qs().simple_query_string_oracle_sql(
             _SQS_QUERY, k=20
         ),

@@ -42,6 +42,28 @@ def live_doc_ids(docs_df):
     )
 
 
+def live_docs_for_store(spark, store, docs=None):
+    """The store-aware live-docs relation every store read path shares:
+    last-write-wins version ranking (multi-segment upsert, D10) MINUS
+    delete_by_query tombstones (engine/updates.py). Returns None when no
+    filtering is needed — single segment and no active deletes — so callers
+    skip the join entirely (the common path costs nothing).
+
+    Ordering matters: the version ranking runs BEFORE the tombstone
+    anti-join. Deleting a url's latest version must delete the url, not
+    resurrect the superseded older version (ES delete-by-id semantics)."""
+    multi = len(store.live_segments()) > 1
+    dels = store.deleted_ids(spark)
+    if not multi and dels is None:
+        return None
+    if docs is None:
+        docs = store.docs(spark)
+    live = live_doc_ids(docs) if multi else docs
+    if dels is not None:
+        live = live.join(dels, "doc_id", "left_anti")
+    return live
+
+
 def merge_segments(
     spark: SparkSession,
     store: IndexStore,
@@ -67,8 +89,13 @@ def _merge_segments_body(
     cfg: IndexConfig = DEFAULT_CONFIG,
 ) -> str:
     inputs = store.live_segments() if segment_ids is None else list(segment_ids)
-    if len(inputs) < 2:
-        raise ValueError("need at least 2 segments to merge")
+    if len(inputs) < 2 and not store.has_deletes():
+        # a single-segment "merge" is meaningful only as ES forcemerge's
+        # only_expunge_deletes: rewrite the segment without its tombstoned
+        # docs (engine/updates.py delete_by_query)
+        raise ValueError(
+            "need at least 2 segments to merge (or active deletes to expunge)"
+        )
 
     entry_id = store.next_entry_id()
     out_id = f"merge-{entry_id:08d}"
@@ -88,10 +115,15 @@ def _merge_segments_body(
     )
     n_dead = n_input_docs - n_distinct
 
+    # delete_by_query tombstones (engine/updates.py): merged output must
+    # expunge them, so their presence forces the full stats/expunge path
+    # even for an append-only (all-distinct-urls) input set
+    dels = store.deleted_ids(spark)
+
     merged_tf_dl = None
     live_cached = None
     try:
-        if n_dead == 0:
+        if n_dead == 0 and dels is None:
             live = docs
             n_docs, sum_dl = n_input_docs, sum(int(s["sum_dl"]) for s in in_stats)
             routing_stats: dict[str, dict[str, int]] | None = None
@@ -103,7 +135,13 @@ def _merge_segments_body(
                         d["n_docs"] += int(v["n_docs"])
                         d["sum_dl"] += int(v["sum_dl"])
         else:
-            live = live_doc_ids(docs).cache()
+            live = live_doc_ids(docs)
+            if dels is not None:
+                # version ranking FIRST, tombstones second (see
+                # live_docs_for_store: deletes must not resurrect older
+                # superseded versions)
+                live = live.join(dels, "doc_id", "left_anti")
+            live = live.cache()
             live_cached = live
             # ONE action for total + per-routing stats (rollup). grouping()
             # — not `routing IS NULL` — picks the grand total: with

@@ -301,7 +301,7 @@ def search_store_phrase(
     the live-docs join, while df/n_docs/avgdl come from the stored
     per-segment stats (which include superseded docs until a merge expunges
     them — exactly Lucene/ES deleted-doc behavior)."""
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
 
     if not store_has_positions(store):
         raise ValueError(
@@ -311,7 +311,9 @@ def search_store_phrase(
         )
     stats = store.global_stats()
     docs = store.docs(spark)
-    live = live_doc_ids(docs) if len(store.live_segments()) > 1 else docs
+    live = live_docs_for_store(spark, store, docs)
+    if live is None:
+        live = docs
     return phrase_topk_from_positions(
         spark,
         store.positions(spark),

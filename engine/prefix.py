@@ -63,15 +63,14 @@ def search_store_prefix(
     posting blocks are found via the pushed StringStartsWith scan filter and
     decoded doc-ids-only; superseded docs are excluded via the live-docs
     join (search_store semantics)."""
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
     from engine.postings import decode_postings_doc_ids
 
     blocks = store.postings(spark).where(F.col("term").startswith(prefix))
     matched = decode_postings_doc_ids(blocks, codec=store.codec)
-    if len(store.live_segments()) > 1:
-        matched = matched.join(
-            live_doc_ids(store.docs(spark)).select("doc_id"), "doc_id"
-        )
+    live = live_docs_for_store(spark, store)
+    if live is not None:
+        matched = matched.join(live.select("doc_id"), "doc_id")
     scored = matched.select("doc_id", F.lit(1.0).alias("score"))
     if k is None:
         # all matches, unordered — for callers that re-rank after a doc-id

@@ -318,7 +318,7 @@ def search_store(
     derived via `routing_for` (same JVM hash as the write path), mirroring
     ES client-side routing (the user never computes shard numbers).
     """
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
 
     if routing_key is not None:
         if routing is not None:
@@ -340,8 +340,7 @@ def search_store(
         stats = store.global_stats()
         postings = store.postings(spark)
         docs = store.docs(spark)
-    n_segments = len(store.live_segments())
-    live = live_doc_ids(docs) if n_segments > 1 else None
+    live = live_docs_for_store(spark, store, docs)
     return bm25_topk_from_index(
         postings,
         stats["n_docs"],
@@ -377,7 +376,7 @@ def search_via_alias(
     (df/n_docs/avgdl stay the searched partition's own stats; a filtered
     alias does not re-weight IDF), so the filter lands on the LIVE-DOCS
     side, never on the stats."""
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
 
     spec = store.alias_spec(alias)
     routing = spec.get("routing")
@@ -389,7 +388,7 @@ def search_via_alias(
         stats = store.global_stats()
         postings = store.postings(spark)
         docs = store.docs(spark)
-    restrict = live_doc_ids(docs) if len(store.live_segments()) > 1 else None
+    restrict = live_docs_for_store(spark, store, docs)
     if spec.get("filter_col") is not None:
         base = restrict if restrict is not None else docs
         restrict = base.where(
@@ -426,7 +425,7 @@ class IndexReader:
         self._open()
 
     def _open(self) -> None:
-        from engine.merge import live_doc_ids
+        from engine.merge import live_docs_for_store
 
         self.stats = self.store.global_stats()
         self._codec = self.store.codec
@@ -442,11 +441,10 @@ class IndexReader:
         self._live_cache = None  # lazy, overflow-only (see _live_docs_df)
         self._positions_cache = None  # lazy, phrase-only (see search_phrase)
         self._doc_len_cache = None
-        if len(self.store.live_segments()) > 1:
+        live = live_docs_for_store(self.spark, self.store)
+        if live is not None:
             docs = self.store.docs(self.spark)
-            deleted = docs.join(
-                live_doc_ids(docs).select("doc_id"), "doc_id", "left_anti"
-            )
+            deleted = docs.join(live.select("doc_id"), "doc_id", "left_anti")
             cap = self.cfg.max_deleted_driver
             rows = deleted.select("doc_id").limit(cap + 1).collect()
             if len(rows) > cap:
@@ -520,10 +518,11 @@ class IndexReader:
         if not self._deleted_overflow:
             return None  # bounded set rides excluded_doc_ids instead
         if self._live_cache is None:
-            from engine.merge import live_doc_ids
+            from engine.merge import live_docs_for_store
 
-            docs = self.store.docs(self.spark)
-            self._live_cache = live_doc_ids(docs).select("doc_id").cache()
+            live = live_docs_for_store(self.spark, self.store)
+            src = live if live is not None else self.store.docs(self.spark)
+            self._live_cache = src.select("doc_id").cache()
             self._live_cache.count()
         return self._live_cache
 
@@ -647,9 +646,10 @@ class IndexReader:
         if self._doc_len_cache is None:
             docs = self.store.docs(self.spark)
             if self._deleted_overflow:
-                from engine.merge import live_doc_ids
+                from engine.merge import live_docs_for_store
 
-                docs = live_doc_ids(docs)
+                live = live_docs_for_store(self.spark, self.store, docs)
+                docs = live if live is not None else docs
             self._doc_len_cache = docs.select("doc_id", "doc_len").cache()
             self._doc_len_cache.count()
         return phrase_topk_from_positions(

@@ -112,12 +112,12 @@ def mget_store(spark: SparkSession, store, urls: list[str]) -> DataFrame:
         Window.partitionBy("url")
         .orderBy(F.col("warc_ts").desc(), F.col("doc_id").desc())
     )
-    return (
-        hits.withColumn("_rk", w_newest)
-        .where(F.col("_rk") == 1)
-        .select("url", "doc_id", "doc_len")
-        .orderBy("url")
-    )
+    out = hits.withColumn("_rk", w_newest).where(F.col("_rk") == 1)
+    dels = store.deleted_ids(spark)
+    if dels is not None:
+        # a deleted url is "found: false" in ES _mget -> no row here
+        out = out.join(dels, "doc_id", "left_anti")
+    return out.select("url", "doc_id", "doc_len").orderBy("url")
 
 
 # ---------------------------------------------------------------------------
@@ -137,14 +137,14 @@ def count_query_store(
     The count never collects ids to the driver: distinct + count is a
     partial-aggregated shuffle of ids bounded by the query's postings, the
     same cardinality WAND's candidate set already has."""
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
     from engine.postings import decode_postings_doc_ids
 
     postings = store.postings(spark).where(F.col("term").isin(query_terms))
     ids = decode_postings_doc_ids(postings, codec=store.codec)
-    if len(store.live_segments()) > 1:
-        live = live_doc_ids(store.docs(spark)).select("doc_id")
-        ids = ids.join(live, "doc_id", "left_semi")
+    live = live_docs_for_store(spark, store)
+    if live is not None:
+        ids = ids.join(live.select("doc_id"), "doc_id", "left_semi")
     return ids.agg(F.count(F.lit(1)).alias("n_hits"))
 
 

@@ -181,6 +181,39 @@ class IndexStore:
             if e.kind == "ingest"
         )
 
+    # -- delete_by_query tombstones (engine/updates.py) -----------------------
+    def active_delete_entries(self) -> list[LedgerEntry]:
+        """Delete entries that can still match a live doc. A delete applies
+        only to docs that existed when it committed; doc ids are globally
+        monotonic (next_doc_id_base), so once every live segment was CREATED
+        after the delete entry (merges rewrite survivors under fresh ids),
+        the entry is inert and read paths skip its anti-join entirely."""
+        entries = self.ledger_entries()
+        created = {}
+        for e in entries:
+            for s in e.segments_added:
+                created[s] = e.entry_id
+        live = self.live_segments()
+        if not live:
+            return []
+        oldest = min(created[s] for s in live)
+        return [e for e in entries if e.kind == "delete" and e.entry_id > oldest]
+
+    def has_deletes(self) -> bool:
+        return bool(self.active_delete_entries())
+
+    def deleted_ids(self, spark: SparkSession):
+        """(doc_id) relation of delete_by_query tombstones, or None when no
+        active delete entries exist (the common, zero-cost path). Bounded by
+        the delete rate between merges — the Lucene live-docs-bitset analog."""
+        entries = self.active_delete_entries()
+        if not entries:
+            return None
+        paths = [
+            os.path.join(self.path, e.metrics["deletes_dir"]) for e in entries
+        ]
+        return self._read_parquet(spark, *paths).select("doc_id").distinct()
+
     # -- segments -------------------------------------------------------------
     def segment_path(self, segment_id: str) -> str:
         return os.path.join(self.path, "segments", segment_id)

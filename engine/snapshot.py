@@ -70,12 +70,28 @@ def snapshot(store: IndexStore, repo: str, name: str) -> dict:
             aliases = json.load(f)
     except FileNotFoundError:
         aliases = {}
+    # active delete_by_query tombstones are part of the commit point (the
+    # Lucene live-docs-bitset analog): copy their parquet dirs so a restore
+    # does not resurrect deleted docs
+    deletes = []
+    for e in store.active_delete_entries():
+        rel = e.metrics["deletes_dir"]
+        dst = os.path.join(seg_pool, f"{name}__{os.path.basename(rel)}")
+        if not os.path.exists(dst):
+            shutil.copytree(os.path.join(store.path, rel), dst + ".tmp")
+            os.rename(dst + ".tmp", dst)
+        deletes.append({
+            "pool_dir": os.path.basename(dst),
+            "n_deleted": int(e.metrics.get("n_deleted", 0)),
+        })
+
     manifest = {
         "name": name,
         "index": store.name,
         "segments": live,
         "segments_copied": copied,
         "segments_shared": shared,
+        "deletes": deletes,
         "meta": meta,
         "aliases": aliases,
         "committed_offsets": {
@@ -137,4 +153,20 @@ def restore(
         },
         metrics={"restored_from": name},
     ))
+    # replay tombstones AFTER the restore entry so they stay active
+    # (active_delete_entries requires entry_id > the segments' creator)
+    for i, d in enumerate(manifest.get("deletes", [])):
+        rel = os.path.join("deletes", f"del-{i + 1:08d}")
+        shutil.copytree(
+            os.path.join(seg_pool, d["pool_dir"]),
+            os.path.join(store.path, rel),
+        )
+        store.commit(LedgerEntry(
+            entry_id=i + 1,
+            kind="delete",
+            segments_added=[],
+            metrics={"deletes_dir": rel,
+                     "n_deleted": int(d.get("n_deleted", 0)),
+                     "restored_from": name},
+        ))
     return store

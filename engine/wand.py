@@ -357,7 +357,7 @@ def search_store_wand(
     rank-identical (tested), so the switch is invisible in results;
     stats_out["strategy"] records which plan actually ran.
     """
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
 
     if strategy not in ("wand", "auto"):
         raise ValueError(f"strategy must be 'wand' or 'auto', got {strategy!r}")
@@ -380,11 +380,10 @@ def search_store_wand(
             stats_out["strategy"] = "wand_auto"
     stats = store.global_stats()
     excluded = None
-    if len(store.live_segments()) > 1:
+    live = live_docs_for_store(spark, store)
+    if live is not None:
         docs = store.docs(spark)
-        deleted = docs.join(
-            live_doc_ids(docs).select("doc_id"), "doc_id", "left_anti"
-        )
+        deleted = docs.join(live.select("doc_id"), "doc_id", "left_anti")
         cap = cfg.max_deleted_driver
         rows = deleted.select("doc_id").limit(cap + 1).collect()
         if len(rows) > cap:

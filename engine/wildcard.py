@@ -96,7 +96,7 @@ def search_store_wildcard(
     (row-group skipping on term-sorted files); the full LIKE filter then
     selects matching terms' blocks, decoded doc-ids-only. Superseded docs
     are excluded via the live-docs join (search_store semantics)."""
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
     from engine.postings import decode_postings_doc_ids
 
     p = pattern.lower()
@@ -106,10 +106,9 @@ def search_store_wildcard(
         blocks = blocks.where(F.col("term").startswith(lead))
     blocks = blocks.where(F.col("term").like(wildcard_to_like(p)))
     matched = decode_postings_doc_ids(blocks, codec=store.codec)
-    if len(store.live_segments()) > 1:
-        matched = matched.join(
-            live_doc_ids(store.docs(spark)).select("doc_id"), "doc_id"
-        )
+    live = live_docs_for_store(spark, store)
+    if live is not None:
+        matched = matched.join(live.select("doc_id"), "doc_id")
     scored = matched.select("doc_id", F.lit(1.0).alias("score"))
     if k is None:
         # all matches, unordered — for callers that re-rank after a doc-id
@@ -183,7 +182,7 @@ def search_store_regexp(
     patterns with no literal prefix), the anchored RLIKE then selects
     matching terms' blocks, decoded doc-ids-only; superseded docs excluded
     via the live-docs join (search_store_wildcard contract)."""
-    from engine.merge import live_doc_ids
+    from engine.merge import live_docs_for_store
     from engine.postings import decode_postings_doc_ids
 
     blocks = store.postings(spark)
@@ -192,10 +191,9 @@ def search_store_regexp(
         blocks = blocks.where(F.col("term").startswith(lead))
     blocks = blocks.where(F.col("term").rlike(f"^(?:{pattern})$"))
     matched = decode_postings_doc_ids(blocks, codec=store.codec)
-    if len(store.live_segments()) > 1:
-        matched = matched.join(
-            live_doc_ids(store.docs(spark)).select("doc_id"), "doc_id"
-        )
+    live = live_docs_for_store(spark, store)
+    if live is not None:
+        matched = matched.join(live.select("doc_id"), "doc_id")
     scored = matched.select("doc_id", F.lit(1.0).alias("score"))
     if k is None:
         return scored
