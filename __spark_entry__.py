@@ -1198,6 +1198,51 @@ def _q_bucket_select_sort(spark, sf_dir):
     return bucket_select_sort(hist, "sum_value", min_doc_count=2, top_n=10)
 
 
+def _q_multi_terms(spark, sf_dir):
+    """ES multi_terms: composite (lang, source) buckets, top-10 by count —
+    one hash-aggregate shuffle on the widened key."""
+    from engine.aggs import multi_terms_agg
+
+    return multi_terms_agg(
+        _docs(spark, sf_dir), ["lang", "source"], size=10, metric_col="n_chars"
+    )
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES rare_terms over the 2-gram shingle field: shingles in at most 2
+    docs (the long-tail complement of terms)."""
+    from engine.aggs import rare_terms_agg
+
+    return rare_terms_agg(_docs(spark, sf_dir), max_doc_count=2, ngram=2)
+
+
+def _q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg per event_type: `value` weighted by the JSON props
+    field `k` (get_json_object both engines), plus value_count."""
+    from engine.aggs import weighted_avg_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        F.get_json_object("props", "$.k").cast("double").alias("w"),
+    )
+    return weighted_avg_agg(ev, "event_type", "value", "w")
+
+
+def _q_mad_agg(spark, sf_dir):
+    """ES median_absolute_deviation (exact tier) of n_chars per lang."""
+    from engine.aggs import mad_agg
+
+    return mad_agg(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+def _q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix: 'merge sc' — `merge` as a scoring term clause,
+    `sc` as a constant-score prefix clause, bool should."""
+    from engine.prefix import match_bool_prefix
+
+    return match_bool_prefix(spark, _docs(spark, sf_dir), ["merge", "sc"], k=20)
+
+
 def _q_stats_agg(spark, sf_dir):
     """ES search with `query` + `stats` agg: doc-length stats over ALL hits
     of a disjunctive match query (size:0 search semantics — the agg visits
@@ -1624,6 +1669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_siblings": _q_bucket_siblings,
         "bucket_select_sort": _q_bucket_select_sort,
         "stats_agg": _q_stats_agg,
+        "multi_terms_agg": _q_multi_terms,
+        "rare_terms_agg": _q_rare_terms,
+        "weighted_avg_agg": _q_weighted_avg,
+        "mad_agg": _q_mad_agg,
+        "match_bool_prefix_topk": _q_match_bool_prefix,
         "cardinality_agg": _q_cardinality_agg,
         "histogram_agg": _q_histogram_agg,
         "percentiles_agg": _q_percentiles_agg,
@@ -1852,6 +1902,20 @@ def oracle_sql() -> dict[str, str]:
             "sum_value", min_doc_count=2, top_n=10,
         ),
         "stats_agg": _ag().stats_agg_oracle_sql(FLAGSHIP_TERMS),
+        "multi_terms_agg": _ag().multi_terms_oracle_sql(
+            ["lang", "source"], size=10, metric_col="n_chars"
+        ),
+        "rare_terms_agg": _ag().rare_terms_oracle_sql(max_doc_count=2, ngram=2),
+        "weighted_avg_agg": _ag().weighted_avg_oracle_sql(
+            "event_type", "value", "w",
+            table="(SELECT event_type, value,"
+                  " CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w"
+                  " FROM events)",
+        ),
+        "mad_agg": _ag().mad_oracle_sql("lang", "n_chars"),
+        "match_bool_prefix_topk": _pf().match_bool_prefix_oracle_sql(
+            ["merge", "sc"], k=20
+        ),
         "cardinality_agg": _ag().cardinality_agg_oracle_sql("event_type", "user_id"),
         "histogram_agg": _ag().histogram_agg_oracle_sql(
             "n_chars", 50, value_col="n_chars"
@@ -2086,6 +2150,12 @@ def _qs():
     from engine import querystring
 
     return querystring
+
+
+def _pf():
+    from engine import prefix
+
+    return prefix
 
 
 def _dd():

@@ -555,3 +555,168 @@ def matrix_stats_oracle_sql(
                round(corr(x, y), {SCORE_DECIMALS}) AS correlation
         FROM f
     """
+
+
+# ---------------------------------------------------------------------------
+# multi_terms / rare_terms / weighted_avg / median_absolute_deviation
+# (ES aggs the 5.x-7.x line ships; same single-shuffle shapes as `terms`)
+# ---------------------------------------------------------------------------
+
+
+def multi_terms_agg(
+    df: DataFrame, group_cols: list[str], size: int = 10,
+    metric_col: str | None = None,
+) -> DataFrame:
+    """ES `multi_terms`: buckets keyed by a composite of several fields,
+    top-`size` by doc_count desc with the composite key as tie-break.
+
+    Plan: ONE hash-aggregate shuffle on the composite key +
+    TakeOrderedAndProject — identical shape to `terms`, the key is just
+    wider. Never a cross of per-field aggs."""
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if metric_col is not None:
+        aggs.append(
+            F.round(F.avg(metric_col), SCORE_DECIMALS).alias(f"avg_{metric_col}")
+        )
+    return (
+        df.groupBy(*group_cols)
+        .agg(*aggs)
+        .orderBy(F.col("doc_count").desc(), *[F.col(c).asc() for c in group_cols])
+        .limit(size)
+    )
+
+
+def multi_terms_oracle_sql(
+    group_cols: list[str], size: int = 10, metric_col: str | None = None,
+    table: str = "documents",
+) -> str:
+    keys = ", ".join(group_cols)
+    metric = (
+        f", round(avg({metric_col}), {SCORE_DECIMALS}) AS avg_{metric_col}"
+        if metric_col else ""
+    )
+    order_keys = ", ".join(f"{c} ASC" for c in group_cols)
+    return f"""
+        SELECT {keys}, count(*) AS doc_count{metric}
+        FROM {table}
+        GROUP BY {keys}
+        ORDER BY doc_count DESC, {order_keys}
+        LIMIT {size}
+    """
+
+
+def rare_terms_agg(
+    docs: DataFrame, max_doc_count: int = 2, ngram: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `rare_terms` over an analyzed shingle field: word `ngram`-grams
+    whose document frequency is <= max_doc_count — the long-tail complement
+    of `terms` (which can never surface them without an unbounded size).
+    The shingle mapping mirrors the common ES setup (rare_terms over a
+    shingle/keyword subfield; unigrams on this closed-vocabulary corpus
+    have no tail to find).
+
+    Plan: shingle per-doc-distinct (partition-local) -> ONE groupBy(shingle)
+    count with a HAVING filter. ES implements this with a bloom-filtered
+    two-phase count for the same reason: the candidate set is large but the
+    per-term state is one counter."""
+    from engine.dedup import shingles
+
+    return (
+        shingles(docs, k=ngram, text_col=text_col, id_col=id_col)
+        .groupBy(F.col("shingle").alias("term"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.col("term").asc())
+    )
+
+
+def rare_terms_oracle_sql(
+    max_doc_count: int = 2, ngram: int = 2, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    toks = _DUCK_TOKS.format(col=text_col, pat=TOKEN_PATTERN)
+    return f"""
+        WITH t AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+        idx AS (
+          SELECT doc_id, t, unnest(range(1, len(t) - {ngram} + 2)) AS i
+          FROM t WHERE len(t) >= {ngram}
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+{ngram - 1}], ' ') AS term
+          FROM idx
+        )
+        SELECT term, count(*) AS doc_count
+        FROM sh
+        GROUP BY term
+        HAVING count(*) <= {max_doc_count}
+        ORDER BY term ASC
+    """
+
+
+def weighted_avg_agg(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """ES `weighted_avg`: sum(value*weight)/sum(weight) per bucket, plus
+    `value_count` of non-null values — one hash-aggregate shuffle."""
+    v, w = F.col(value_col), F.col(weight_col)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.round(F.sum(v * w) / F.sum(w), SCORE_DECIMALS).alias("weighted_avg"),
+            F.count(value_col).alias("value_count"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def weighted_avg_oracle_sql(
+    group_col: str, value_col: str, weight_col: str, table: str = "documents"
+) -> str:
+    return f"""
+        SELECT {group_col},
+               round(sum({value_col} * {weight_col}) * 1.0
+                     / sum({weight_col}), {SCORE_DECIMALS}) AS weighted_avg,
+               count({value_col}) AS value_count
+        FROM {table}
+        GROUP BY {group_col}
+        ORDER BY {group_col}
+    """
+
+
+def mad_agg(df: DataFrame, group_col: str, field: str) -> DataFrame:
+    """ES `median_absolute_deviation`, exact tier: median(|x - median(x)|)
+    per bucket. Spark `percentile` and DuckDB `median` both interpolate
+    (type R-7), so the twins agree bit-for-bit after rounding.
+
+    Plan: two grouped aggregates over the same shuffle key (median, then
+    MAD against the broadcast per-group medians). ES computes this on a
+    t-digest sketch; the mergeable approx scale path here is
+    percentile_approx over |x - med| with the same shape."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({field}, 0.5)").alias("_med")
+    )
+    return (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs({field} - _med), 0.5)"), SCORE_DECIMALS
+            ).alias("mad")
+        )
+        .orderBy(group_col)
+    )
+
+
+def mad_oracle_sql(group_col: str, field: str, table: str = "documents") -> str:
+    return f"""
+        WITH med AS (
+          SELECT {group_col}, median({field}) AS m FROM {table} GROUP BY {group_col}
+        )
+        SELECT t.{group_col},
+               round(median(abs(t.{field} - med.m)), {SCORE_DECIMALS}) AS mad
+        FROM {table} t JOIN med USING ({group_col})
+        GROUP BY t.{group_col}
+        ORDER BY t.{group_col}
+    """

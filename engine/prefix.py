@@ -98,3 +98,110 @@ FROM toks WHERE term LIKE '{esc}%' ESCAPE '\\'
 ORDER BY doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix (ES): bool of term queries + a prefix on the last token
+# ---------------------------------------------------------------------------
+
+
+def match_bool_prefix(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `match_bool_prefix`: the analyzed query's last token matches as a
+    PREFIX, every earlier token as a regular term, all in a bool `should`
+    (match-any). Scoring mirrors the ES rewrite: term clauses contribute
+    BM25 (the shared bm25_contribs relation), the prefix clause contributes
+    constant 1.0 (Lucene constant-score multi-term rewrite); a doc needs at
+    least one matching clause.
+
+    Plan: one broadcast-semi-filtered contribs pass for the full terms +
+    one startswith-filtered distinct for the prefix, unioned into a single
+    per-doc aggregate — clause count is query-sized, corpus passes are not.
+    """
+    from engine.config import SCORE_DECIMALS
+    from engine.query import bm25_contribs
+
+    if not query:
+        raise ValueError("empty query")
+    *full, last = [t.lower() for t in query]
+    parts = []
+    if full:
+        parts.append(
+            bm25_contribs(spark, docs, full, id_col=id_col, text_col=text_col)
+            .select("doc_id", F.col("contrib"))
+        )
+    prefix_docs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term").startswith(last))
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1.0).alias("contrib"))
+    )
+    parts.append(prefix_docs)
+    rel = parts[0]
+    for p in parts[1:]:
+        rel = rel.unionByName(p)
+    return (
+        rel.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def match_bool_prefix_oracle_sql(
+    query: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from engine.config import DEFAULT_CONFIG as _C
+    from engine.config import SCORE_DECIMALS
+
+    *full, last = [t.lower() for t in query]
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
+    term_part = ""
+    if full:
+        terms_values = ", ".join(f"('{t}')" for t in sorted(set(full)))
+        term_part = f"""
+  SELECT tf.doc_id,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf / (tf.tf + {_C.k1} * (1 - {_C.b} + {_C.b} * dl.doc_len / stats.avgdl)))
+           AS contrib
+  FROM tf
+  JOIN (VALUES {terms_values}) q(term) USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  UNION ALL"""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), dl AS (
+  SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+), contribs AS ({term_part}
+  SELECT DISTINCT doc_id, 1.0 AS contrib
+  FROM toks WHERE term LIKE '{last}%'
+)
+SELECT doc_id, round(sum(contrib), {SCORE_DECIMALS}) AS score
+FROM contribs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -159,3 +159,64 @@ def test_adjacency_matrix_matches_oracle_and_intersections(spark, docs_small):
     plan = (adjacency_matrix_agg(docs_small, cols)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan parquet") == 1
+
+
+# ---- round-5 continuation: multi_terms / rare_terms / weighted_avg / mad ----
+
+
+def test_multi_terms_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from engine.aggs import multi_terms_agg
+
+    df = spark.createDataFrame(
+        [Row(a="x", b="p"), Row(a="x", b="p"), Row(a="y", b="q"),
+         Row(a="y", b="q"), Row(a="z", b="r")]
+    )
+    out = multi_terms_agg(df, ["a", "b"], size=2).collect()
+    # count ties between (x,p) and (y,q) -> composite key ascending wins
+    assert [(r.a, r.b) for r in out] == [("x", "p"), ("y", "q")]
+
+
+def test_rare_terms_threshold(spark):
+    from pyspark.sql import Row
+
+    from engine.aggs import rare_terms_agg
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="a b d"),
+         Row(doc_id=3, text="a b e")]
+    )
+    out = {r.term: r.doc_count for r in rare_terms_agg(df, 2, ngram=2).collect()}
+    # "a b" in 3 docs -> excluded; the tail shingles are rare
+    assert "a b" not in out
+    assert out == {"b c": 1, "b d": 1, "b e": 1}
+
+
+def test_weighted_avg_values(spark):
+    from pyspark.sql import Row
+
+    from engine.aggs import weighted_avg_agg
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=10.0, w=1.0), Row(g="a", v=20.0, w=3.0),
+         Row(g="b", v=5.0, w=2.0), Row(g="b", v=None, w=1.0)]
+    )
+    out = {r.g: r for r in weighted_avg_agg(df, "g", "v", "w").collect()}
+    assert out["a"].weighted_avg == 17.5  # (10*1 + 20*3) / 4
+    assert out["a"].value_count == 2
+    assert out["b"].value_count == 1  # nulls not counted (ES value_count)
+
+
+def test_mad_exact(spark):
+    from pyspark.sql import Row
+
+    from engine.aggs import mad_agg
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=1), Row(g="a", x=2), Row(g="a", x=3),
+         Row(g="a", x=4), Row(g="a", x=100)]
+    )
+    r = mad_agg(df, "g", "x").collect()[0]
+    # median 3; |x-3| = [2,1,0,1,97] -> median 1 (robust to the outlier)
+    assert r.mad == 1.0
