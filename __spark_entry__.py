@@ -1066,6 +1066,16 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means over embeddings (k=10, 2 iters) — the
+    SemDeDup cluster-then-dedup scale path; assignment is a partition-local
+    JVM argmin, means are one k*dim-row groupBy per iteration."""
+    from engine.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(spark, emb, k=10, n_iters=2)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from engine.similarity import cosine_topk
 
@@ -1650,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "contamination": _q_contamination,
         "simhash_near_pairs": _q_simhash_pairs,
+        "kmeans_clusters": _q_kmeans,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1857,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _sim().ivf_ann_topk_oracle_sql(
             _ann_query_vec(), k=15, n_cells=16, n_probes=4
         ),
+        "kmeans_clusters": _sim().kmeans_oracle_sql(k=10, n_iters=2),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
         "function_score": _sa().function_score_oracle_sql(

@@ -600,3 +600,152 @@ JOIN n b ON c.id_b = b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12),
             {SCORE_DECIMALS}) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (SemDeDup-style cluster-then-dedup scale path)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    df: DataFrame,
+    k: int = 10,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means: init = the first `k` vectors by id,
+    `n_iters` assign/recompute rounds, returns (vec_id, cluster, dist)
+    with squared-L2 `dist` to the final centroid. The SemDeDup recipe
+    (Abbas et al. 2023) clusters embeddings exactly like this before
+    running near-dup detection inside each cluster.
+
+    Determinism across engines/parallelism: distances round to 6 dp with
+    argmin ties broken by smallest cluster index; recomputed centroid
+    means round to 6 dp; an emptied cluster keeps its previous centroid.
+
+    100 TB shape (the MLlib k-means shape): centroids are k×dim driver
+    state (tiny); each iteration is ONE partition-local argmin pass over
+    JVM codegen expressions (no Python, no shuffle for assignment) plus
+    ONE groupBy(cluster, dim) mean whose output is k*dim rows. Iteration
+    count is the only multiplier on corpus passes.
+    """
+    rows = (
+        df.orderBy(id_col).limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["v"]] for r in rows]
+
+    def dists_col():
+        return F.array(*[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for cent in cents
+        ])
+
+    assigned = None
+    iters = max(1, int(n_iters))
+    for it in range(iters):
+        d = dists_col()
+        assigned = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col),
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster"),
+            F.array_min(d).alias("dist"),
+        )
+        if it == iters - 1:
+            break  # the last assignment is the result; skip the dead mean pass
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # emptied cluster keeps its centroid
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+        for j, dims in by_cluster.items():
+            new_cents[j] = [dims[p] for p in range(len(cents[j]))]
+        cents = new_cents
+
+    return assigned.select(
+        "vec_id", "cluster", F.round("dist", SCORE_DECIMALS).alias("dist")
+    ).orderBy("vec_id")
+
+
+def kmeans_oracle_sql(
+    k: int = 10,
+    n_iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: the same unrolled Lloyd iterations in relational form —
+    vectors and centroids unnested to (id, pos, val) rows, dist = grouped
+    sum of squared diffs (round 6, argmin tie-break by cluster index),
+    means re-grouped per (cluster, pos) with empty clusters carrying the
+    previous centroid via the left join's COALESCE."""
+    unnest_vec = f"""
+  SELECT {id_col} AS vec_id,
+         generate_subscripts({vec_col}, 1) - 1 AS pos,
+         CAST(unnest({vec_col}) AS DOUBLE) AS val
+  FROM {table}"""
+    sql = f"""
+WITH vecdim AS ({unnest_vec}),
+init AS (SELECT {id_col} AS vec_id FROM {table} ORDER BY {id_col} LIMIT {k}),
+c0 AS (
+  SELECT dense_rank() OVER (ORDER BY v.vec_id) - 1 AS cluster, v.pos,
+         round(v.val, 6) AS val
+  FROM vecdim v JOIN init USING (vec_id)
+)"""
+    prev = "c0"
+    for it in range(1, max(1, int(n_iters)) + 1):
+        sql += f""",
+d{it} AS (
+  SELECT v.vec_id, c.cluster,
+         round(sum((v.val - c.val) * (v.val - c.val)), 6) AS dist
+  FROM vecdim v JOIN {prev} c USING (pos)
+  GROUP BY v.vec_id, c.cluster
+),
+a{it} AS (
+  SELECT vec_id, cluster, dist
+  FROM (SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d{it})
+  WHERE rn = 1
+),
+c{it} AS (
+  SELECT c.cluster, c.pos,
+         coalesce(m.val, c.val) AS val
+  FROM {prev} c
+  LEFT JOIN (
+    SELECT a.cluster, v.pos, round(avg(v.val), 6) AS val
+    FROM a{it} a JOIN vecdim v USING (vec_id)
+    GROUP BY a.cluster, v.pos
+  ) m ON m.cluster = c.cluster AND m.pos = c.pos
+)"""
+        prev = f"c{it}"
+    last = max(1, int(n_iters))
+    sql += f"""
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       round(dist, {SCORE_DECIMALS}) AS dist
+FROM a{last}
+ORDER BY vec_id
+"""
+    return sql

@@ -61,3 +61,60 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     empty = _pairs(spark, [])
     rows2 = dedup_clusters(docs, empty).collect()
     assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"] for r in rows2)
+
+
+# ---- round-5 continuation: k-means (SemDeDup cluster path) ----
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    # synthetic well-separated clusters (the sf embeddings' label column is
+    # NOT geometric: same-label pairs average cosine ~0, verified) — plant
+    # three tight blobs and require exact recovery
+    import random
+
+    from pyspark.sql import Row
+
+    from engine.similarity import kmeans_assign
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append(Row(
+            vec_id=i,
+            embedding=[x + rng.uniform(-0.5, 0.5) for x in c],
+            planted=i % 3,
+        ))
+    df = spark.createDataFrame(rows)
+    out = kmeans_assign(spark, df, k=3, n_iters=4)
+    joined = {r.vec_id: r.cluster for r in out.collect()}
+    # each planted blob maps to exactly one k-means cluster (bijection)
+    mapping = {}
+    for i in range(90):
+        mapping.setdefault(i % 3, set()).add(joined[i])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+
+def test_kmeans_deterministic_across_parallelism(spark):
+    from engine.similarity import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_assign(spark, emb.repartition(2), k=6, n_iters=2).collect()
+    b = kmeans_assign(spark, emb.repartition(7), k=6, n_iters=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from pyspark.sql import Row
+
+    from engine.similarity import kmeans_assign
+
+    # 3 identical far vectors + k=2: cluster 1's centroid (the second
+    # init vector) wins all points after iter 1; cluster 0 empties and
+    # must keep its init centroid without error
+    rows = [Row(vec_id=i, embedding=[float(i == 0), 1.0, 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = kmeans_assign(spark, df, k=2, n_iters=3).collect()
+    assert len(out) == 3
