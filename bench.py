@@ -64,6 +64,13 @@ def main() -> None:
         "filtered_alias_view", "offset_ledger", "upsert_last_wins",
         "routed_search", "alias_routed_search", "multi_index_fanout",
         "resize_plan", "image_features", "frame_sample",
+        # round-5 continuation additions
+        "pipeline_metrics", "bucket_siblings", "bucket_select_sort",
+        "token_chunks", "chunk_dedup", "pii_redact", "contamination",
+        "simple_query_string", "simple_query_string_and",
+        "delete_by_query_search", "update_by_query_search",
+        "multi_terms_agg", "rare_terms_agg", "weighted_avg_agg", "mad_agg",
+        "match_bool_prefix_topk", "kmeans_clusters",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
 

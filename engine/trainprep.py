@@ -21,7 +21,7 @@ while the corpus is TB-sized).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from engine.analysis import tokens
@@ -106,13 +106,14 @@ def chunk_dedup(
     Returns (doc_id, n_chunks, n_removed, clean_text).
 
     Plan: tokenize + disjoint chunking stay partition-local; the keep
-    decision is row_number()==1 over (md5(chunk) -> order doc_id,
-    chunk_idx), which Spark 4 rewrites into a map-side WindowGroupLimit
-    pair — a chunk duplicated a million times ships at most one row per
-    partition past the partial limit, so hot boilerplate chunks (the whole
-    point of C4 dedup) cannot melt the shuffle. Reassembly is one
-    groupBy(doc_id). Two bounded shuffles total, keyed by high-cardinality
-    md5 and doc_id.
+    decision is min(struct(doc_id, chunk_idx)) grouped by md5(chunk) — a
+    HASH AGGREGATE with map-side partial min, so a chunk duplicated a
+    million times (hot boilerplate, the whole point of C4 dedup) reduces
+    to one row per partition BEFORE its shuffle; the winners relation
+    (unique per hash) then equi-joins back. A window row_number here would
+    sort every copy of the hot chunk in one partition — the skew shape
+    this op exists to avoid. Reassembly is one groupBy(doc_id). Three
+    bounded shuffles total, all keyed by high-cardinality md5 or doc_id.
     """
     t = tokens(text_col)
     starts = F.sequence(
@@ -123,12 +124,21 @@ def chunk_dedup(
         df.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
         .where(F.size("_t") > 0)
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "_c"))
-        .select("doc_id", "chunk_idx", F.array_join("_c", " ").alias("chunk_text"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.array_join("_c", " ").alias("chunk_text"),
+            F.md5(F.array_join("_c", " ")).alias("_h"),
+        )
     )
-    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
-    kept = (
-        exploded.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_keep", (F.col("_rn") == 1).cast("int"))
+    winners = exploded.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_w")
+    )
+    kept = exploded.join(winners, "_h").withColumn(
+        "_keep",
+        (
+            (F.col("doc_id") == F.col("_w.doc_id"))
+            & (F.col("chunk_idx") == F.col("_w.chunk_idx"))
+        ).cast("int"),
     )
     return (
         kept.groupBy("doc_id")

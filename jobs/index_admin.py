@@ -112,6 +112,24 @@ def main(argv: list[str] | None = None) -> int:
     pfm = sub.add_parser("forcemerge", help="ES _forcemerge: compact all "
                                             "live segments into one")
     add_common(pfm)
+    pdq = sub.add_parser("delete-by-query", help="ES _delete_by_query: "
+                         "tombstone every live doc matching the term query")
+    add_common(pdq)
+    pdq.add_argument("--terms", required=True,
+                     help="comma-separated query terms")
+    pdq.add_argument("--conjunctive", action="store_true",
+                     help="require ALL terms (default: any)")
+    puq = sub.add_parser("update-by-query", help="ES _update_by_query: "
+                         "regexp-rewrite the stored _source of every live "
+                         "doc matching the term query")
+    add_common(puq)
+    puq.add_argument("--terms", required=True,
+                     help="comma-separated query terms")
+    puq.add_argument("--conjunctive", action="store_true")
+    puq.add_argument("--replace-pattern", required=True,
+                     help="Java regex applied to the stored source text")
+    puq.add_argument("--replace-with", required=True)
+    puq.add_argument("--batch-id", type=int, default=0)
     add_common(sub.add_parser("list"), need_index=False)
     add_common(sub.add_parser("stats"))
     args = ap.parse_args(argv)
@@ -174,6 +192,45 @@ def main(argv: list[str] | None = None) -> int:
 
     from engine.config import IndexConfig
 
+    if args.cmd == "delete-by-query":
+        from engine.session import get_spark
+        from engine.updates import delete_by_query
+
+        st = IndexStore(args.index_root, args.index)
+        if not st.exists():
+            print(json.dumps({"error": f"index {args.index} does not exist"}))
+            return 1
+        spark = get_spark("delete-by-query")
+        n = delete_by_query(
+            spark, st, args.terms.split(","), conjunctive=args.conjunctive
+        )
+        print(json.dumps({"index": args.index, "deleted": n}))
+        return 0
+
+    if args.cmd == "update-by-query":
+        from pyspark.sql import functions as F
+
+        from engine.session import get_spark
+        from engine.updates import update_by_query
+
+        st = IndexStore(args.index_root, args.index)
+        if not st.exists():
+            print(json.dumps({"error": f"index {args.index} does not exist"}))
+            return 1
+        spark = get_spark("update-by-query")
+        res = update_by_query(
+            spark, st, args.terms.split(","),
+            transform=lambda c: F.regexp_replace(
+                c, args.replace_pattern, args.replace_with
+            ),
+            conjunctive=args.conjunctive, batch_id=args.batch_id,
+        )
+        print(json.dumps({
+            "index": args.index,
+            "updated": 0 if res is None else int(res.n_docs),
+        }))
+        return 0
+
     if args.cmd == "forcemerge":
         from engine.merge import merge_segments
         from engine.session import get_spark
@@ -183,9 +240,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"index {args.index} does not exist"}))
             return 1
         before = st.live_segments()
-        if len(before) <= 1:
+        if len(before) <= 1 and not st.has_deletes():
             print(json.dumps({"index": args.index, "merged": False,
-                              "reason": "already one segment",
+                              "reason": "already one segment, no deletes",
                               "segments": before}))
             return 0
         spark = get_spark("forcemerge")

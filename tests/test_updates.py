@@ -165,3 +165,27 @@ def test_snapshot_restore_preserves_tombstones(spark, source, tmp_path):
     restored = restore(repo, "snap1", str(tmp_path / "restored"))
     assert restored.has_deletes()
     assert _ids(search_store(spark, restored, TERMS, k=N)) == survivors
+
+
+def test_delete_update_cli(spark, source, tmp_path, capsys):
+    import json
+
+    from jobs.index_admin import main
+
+    store = _build(spark, source, tmp_path, name="cliidx")
+    rc = main([
+        "delete-by-query", "--index-root", str(tmp_path), "--index", "cliidx",
+        "--terms", "spark",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] > 0
+    rc = main([
+        "update-by-query", "--index-root", str(tmp_path), "--index", "cliidx",
+        "--terms", "engine", "--replace-pattern", r"\bengine\b",
+        "--replace-with", "motor", "--batch-id", "907",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["updated"] > 0
+    assert _ids(search_store(spark, store, ["motor"], k=N))

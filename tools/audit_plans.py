@@ -328,6 +328,50 @@ def main() -> None:
         # token stream BEFORE the distinct's exchange (the (3) Filter
         # section precedes the (6) Exchange section in the detail listing)
         "regexp_match": ([r"(?s)RLIKE.*Exchange"], [r"CartesianProduct"]),
+        # ---- round-5 continuation ----
+        # pipeline aggs run over the parent's reduce-phase bucket relation:
+        # a window/sort there is bounded by the time span, but the CORPUS
+        # pass must stay a single hash aggregate (no join)
+        "pipeline_metrics": ([r"HashAggregate", r"Window"], [r"Join"]),
+        "bucket_siblings": ([r"HashAggregate"], [r"CartesianProduct"]),
+        # chunking is partition-local: generate+posexplode, zero Exchange
+        "token_chunks": ([r"Generate"], [r"Exchange", r"Join"]),
+        # C4 span dedup: keep-first must be a map-side partial-min hash
+        # aggregate per chunk hash (hot chunks reduce before the shuffle) —
+        # never a window sort (which would pile a hot chunk into one task)
+        "chunk_dedup": (
+            [r"partial_min", r"HashAggregate"],
+            [r"(?i)windowgrouplimit", r"Window\b", r"CartesianProduct"],
+        ),
+        # PII scrubbing is a pure codegen scan pass
+        "pii_redact": ([r"codegen id"], [r"Exchange", r"Join"]),
+        # decontamination: the benchmark shingle set (MB-sized) broadcasts;
+        # the corpus never shuffles for the join
+        "contamination": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"CartesianProduct"]),
+        # simple_query_string compiles onto bm25_contribs + phrase scans:
+        # broadcast dims, single top-k, no cartesian
+        "simple_query_string": (
+            [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            [r"CartesianProduct"],
+        ),
+        # store mutations: the searched clone keeps pushed term filters
+        "delete_by_query_search": ([r"PushedFilters: \[.*[Ii]n\(term"], []),
+        "update_by_query_search": (
+            [r"PushedFilters: \[.*(In|EqualTo)\(term"], []
+        ),
+        # small aggs: single hash-aggregate shuffles
+        "multi_terms_agg": ([r"HashAggregate", r"TakeOrderedAndProject"], [r"Join"]),
+        "rare_terms_agg": ([r"HashAggregate"], [r"Join"]),
+        "weighted_avg_agg": ([r"HashAggregate"], [r"Join"]),
+        # MAD joins the tiny per-group medians back broadcast
+        "mad_agg": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+        "match_bool_prefix_topk": (
+            [r"TakeOrderedAndProject"], [r"CartesianProduct"]
+        ),
+        # k-means assignment is partition-local (only the final orderBy
+        # exchanges; AQE hides codegen markers pre-execution): no join, no
+        # generate — the argmin is pure projection
+        "kmeans_clusters": ([r"Scan parquet"], [r"Join", r"CartesianProduct", r"Generate"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
