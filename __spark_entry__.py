@@ -1006,6 +1006,18 @@ def _q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simple_query_string_topk(spark, _docs(spark, sf_dir), _SQS_QUERY, k=20)
 
 
+def _q_simple_query_string_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME simple_query_string served from the persisted index (term
+    clauses from pushed posting-block scans, phrase from the positions
+    sidecar) — rank-identical to the corpus path, so the corpus oracle
+    applies verbatim (merged store, stats cover the corpus, store doc ids
+    coincide with documents.doc_id)."""
+    from engine.querystring import simple_query_string_store
+
+    store = _phrase_store(spark, sf_dir)
+    return simple_query_string_store(spark, store, _SQS_QUERY, k=20)
+
+
 def _q_simple_query_string_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES simple_query_string with default_operator=and (all bare clauses
     required)."""
@@ -1652,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "unigram_logprob": _q_unigram_logprob,
         "simple_query_string": _q_simple_query_string,
+        "simple_query_string_store": _q_simple_query_string_store,
         "simple_query_string_and": _q_simple_query_string_and,
         "delete_by_query_search": _q_delete_by_query_search,
         "update_by_query_search": _q_update_by_query_search,
@@ -1846,6 +1859,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "update_by_query_search": _update_by_query_oracle_sql(k=20),
         "simple_query_string": _qs().simple_query_string_oracle_sql(
+            _SQS_QUERY, k=20
+        ),
+        "simple_query_string_store": _qs().simple_query_string_oracle_sql(
             _SQS_QUERY, k=20
         ),
         "simple_query_string_and": _qs().simple_query_string_oracle_sql(

@@ -170,19 +170,21 @@ def store_has_positions(store, segments: list[str] | None = None) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def phrase_topk_from_positions(
+def phrase_scores_from_positions(
     spark: SparkSession,
     positions: DataFrame,
     doc_len_df: DataFrame,
     n_docs: int,
     avgdl: float,
     phrase: list[str],
-    k: int = 10,
     cfg: IndexConfig = DEFAULT_CONFIG,
     excluded_doc_ids=frozenset(),
 ) -> DataFrame:
     """Core match_phrase executor over a positions relation
-    (term, doc_id, n_pos, pos_blob[, ...]).
+    (term, doc_id, n_pos, pos_blob[, ...]) -> the UN-truncated, un-rounded
+    (doc_id, raw_score) phrase relation. phrase_topk_from_positions is
+    round + top-k over this; simple_query_string_store sums it with the
+    index term contributions (one expression tree per formula).
 
     `doc_len_df`: (doc_id, doc_len) for the docs allowed in RESULTS (the
     caller restricts it to live docs as needed). `excluded_doc_ids`: a
@@ -278,9 +280,31 @@ def phrase_topk_from_positions(
         .crossJoin(F.broadcast(idf_sum))
         .select(
             "doc_id",
-            F.round(F.col("idf_sum") * F.col("ptf") / denom, SCORE_DECIMALS).alias(
-                "score"
-            ),
+            (F.col("idf_sum") * F.col("ptf") / denom).alias("raw_score"),
+        )
+    )
+
+
+def phrase_topk_from_positions(
+    spark: SparkSession,
+    positions: DataFrame,
+    doc_len_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    phrase: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    excluded_doc_ids=frozenset(),
+) -> DataFrame:
+    """round + top-k by (score desc, doc_id asc) over
+    phrase_scores_from_positions (the shared store phrase relation)."""
+    return (
+        phrase_scores_from_positions(
+            spark, positions, doc_len_df, n_docs, avgdl, phrase,
+            cfg=cfg, excluded_doc_ids=excluded_doc_ids,
+        )
+        .select(
+            "doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score")
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)

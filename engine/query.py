@@ -195,6 +195,57 @@ def bm25_topk(
     )
 
 
+def index_term_contribs(
+    postings: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    live_docs: DataFrame | None = None,
+    excluded_doc_ids=None,
+    codec: str = "varint",
+) -> DataFrame:
+    """Per-(doc, matched term) BM25 contributions from a prebuilt
+    block-postings index: (doc_id, term, contrib). The index twin of
+    bm25_contribs — the single source of the indexed-path BM25 formula:
+    bm25_topk_from_index sums it, simple_query_string_store mixes it with
+    phrase contributions. df(t) comes from the candidate blocks
+    (pre-live-filter — Lucene deleted-doc stats semantics); n_docs/avgdl
+    come from the caller's stored stats."""
+    from engine.postings import decode_postings, term_stats
+
+    q_terms = sorted(set(query_terms))
+    cand = postings.where(F.col("term").isin(q_terms))
+    tf = decode_postings(cand, codec=codec)
+    dfreq = term_stats(cand)  # df(t) = sum of block n per term — exact
+    if live_docs is not None:
+        tf = tf.join(live_docs.select("doc_id"), "doc_id", "left_semi")
+    elif excluded_doc_ids:
+        # literal NOT IN only for sets small enough to live in the plan; a
+        # big set becomes a broadcast anti-join (same semantics, no
+        # million-literal Catalyst expression)
+        if len(excluded_doc_ids) <= MAX_EXCLUDED_LITERALS:
+            tf = tf.where(~F.col("doc_id").isin(list(excluded_doc_ids)))
+        else:
+            spark = tf.sparkSession
+            dead = spark.createDataFrame(
+                [(int(d),) for d in excluded_doc_ids], "doc_id long"
+            )
+            tf = tf.join(F.broadcast(dead), "doc_id", "left_anti")
+
+    matched = tf.join(F.broadcast(dfreq), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(float(avgdl))
+    )
+    return matched.select(
+        "doc_id", "term", (idf * (F.col("tf") / denom)).alias("contrib")
+    )
+
+
 def bm25_topk_from_index(
     postings: DataFrame,
     n_docs: int,
@@ -229,39 +280,14 @@ def bm25_topk_from_index(
     predicate pushdown + row-group skipping (postings are written sorted by
     term); only the query terms' blocks are ever read or decoded.
     """
-    from engine.postings import decode_postings, term_stats
-
-    q_terms = sorted(set(query_terms))
-    cand = postings.where(F.col("term").isin(q_terms))
-    tf = decode_postings(cand, codec=codec)
-    dfreq = term_stats(cand)  # df(t) = sum of block n per term — exact
-    if live_docs is not None:
-        tf = tf.join(live_docs.select("doc_id"), "doc_id", "left_semi")
-    elif excluded_doc_ids:
-        # literal NOT IN only for sets small enough to live in the plan; a
-        # big set becomes a broadcast anti-join (same semantics, no
-        # million-literal Catalyst expression)
-        if len(excluded_doc_ids) <= MAX_EXCLUDED_LITERALS:
-            tf = tf.where(~F.col("doc_id").isin(list(excluded_doc_ids)))
-        else:
-            spark = tf.sparkSession
-            dead = spark.createDataFrame(
-                [(int(d),) for d in excluded_doc_ids], "doc_id long"
-            )
-            tf = tf.join(F.broadcast(dead), "doc_id", "left_anti")
-
-    matched = tf.join(F.broadcast(dfreq), "term")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(float(avgdl))
-    )
-    per_doc = matched.groupBy("doc_id").agg(
-        F.sum(idf * (F.col("tf") / denom)).alias("raw_score"),
+    per_doc = index_term_contribs(
+        postings, n_docs, avgdl, query_terms, cfg=cfg, live_docs=live_docs,
+        excluded_doc_ids=excluded_doc_ids, codec=codec,
+    ).groupBy("doc_id").agg(
+        F.sum("contrib").alias("raw_score"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
+    q_terms = sorted(set(query_terms))
     msm = len(q_terms) if conjunctive else min_should_match
     if msm:
         per_doc = per_doc.where(F.col("n_terms_matched") >= F.lit(int(msm)))

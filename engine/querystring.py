@@ -336,3 +336,136 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# store path: the same query language served from the persisted index
+# ---------------------------------------------------------------------------
+
+
+def simple_query_string_store(
+    spark: SparkSession,
+    store,
+    q: str,
+    k: int = 10,
+    default_operator: str = "or",
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """simple_query_string served from a persisted store: term clauses ride
+    index_term_contribs (pushed isin posting-block scan), phrase clauses
+    ride phrase_scores_from_positions (positions sidecar), exclusions are
+    anti-joins on ids-only decodes — the same compiled bool as the corpus
+    path, with search_store's cross-segment semantics (df/stats from the
+    stored values; live/tombstoned docs excluded from RESULTS only).
+    Rank-identical to the corpus path on a merged store whose stats cover
+    the corpus (tested via the shared oracle)."""
+    from engine.merge import live_docs_for_store
+    from engine.positions import phrase_scores_from_positions, store_has_positions
+    from engine.postings import decode_postings_doc_ids
+    from engine.query import index_term_contribs
+
+    clauses = parse_simple_query_string(q, default_operator)
+    must_terms = {c.terms[0] for c in clauses if c.occur == "must" and c.kind == "term"}
+    should_terms = {
+        c.terms[0] for c in clauses if c.occur == "should" and c.kind == "term"
+    }
+    neg_terms = sorted(
+        {c.terms[0] for c in clauses if c.occur == "must_not" and c.kind == "term"}
+    )
+    phrases = [c for c in clauses if c.kind == "phrase"]
+    scoring_terms = sorted(must_terms | should_terms)
+    n_must = len(must_terms) + sum(1 for c in phrases if c.occur == "must")
+    has_should = bool(should_terms) or any(c.occur == "should" for c in phrases)
+    need_should = 1 if (n_must == 0 and has_should) else 0
+
+    if phrases and not store_has_positions(store):
+        raise ValueError(
+            f"index {store.name}: phrase clauses need the positions sidecar "
+            "(build with IndexConfig(store_positions=True))"
+        )
+
+    stats = store.global_stats()
+    postings = store.postings(spark)
+    live = live_docs_for_store(spark, store)
+
+    parts = []
+    if scoring_terms:
+        occ = spark.createDataFrame(
+            [
+                (t, 1 if t in must_terms else 0, 1 if t in should_terms else 0)
+                for t in scoring_terms
+            ],
+            "term string, is_must int, is_should int",
+        )
+        parts.append(
+            index_term_contribs(
+                postings, stats["n_docs"], stats["avgdl"], scoring_terms,
+                cfg=cfg, live_docs=live, codec=store.codec,
+            )
+            .join(F.broadcast(occ), "term")
+            .select("doc_id", "contrib", "is_must", "is_should")
+        )
+    pos_rel = store.positions(spark) if phrases else None
+    doc_len_df = None
+    if phrases:
+        docs = store.docs(spark)
+        doc_len_df = (live if live is not None else docs).select(
+            "doc_id", "doc_len"
+        )
+    for c in phrases:
+        if c.occur == "must_not":
+            continue
+        parts.append(
+            phrase_scores_from_positions(
+                spark, pos_rel, doc_len_df, stats["n_docs"], stats["avgdl"],
+                list(c.terms), cfg=cfg,
+            ).select(
+                "doc_id",
+                F.col("raw_score").alias("contrib"),
+                F.lit(1 if c.occur == "must" else 0).alias("is_must"),
+                F.lit(1 if c.occur == "should" else 0).alias("is_should"),
+            )
+        )
+    if not parts:
+        if not neg_terms and not any(c.occur == "must_not" for c in phrases):
+            return spark.createDataFrame([], "doc_id long, score double")
+        base = live if live is not None else store.docs(spark)
+        per_doc = base.select("doc_id", F.lit(0.0).alias("raw_score"))
+    else:
+        rel = parts[0]
+        for p in parts[1:]:
+            rel = rel.unionByName(p)
+        per_doc = rel.groupBy("doc_id").agg(
+            F.sum("contrib").alias("raw_score"),
+            F.sum("is_must").alias("n_must_matched"),
+            F.sum("is_should").alias("n_should_matched"),
+        )
+        if n_must:
+            per_doc = per_doc.where(F.col("n_must_matched") >= F.lit(n_must))
+        if need_should:
+            per_doc = per_doc.where(
+                F.col("n_should_matched") >= F.lit(need_should)
+            )
+
+    if neg_terms:
+        neg_blocks = postings.where(F.col("term").isin(neg_terms))
+        per_doc = per_doc.join(
+            decode_postings_doc_ids(neg_blocks, codec=store.codec),
+            "doc_id", "left_anti",
+        )
+    for c in phrases:
+        if c.occur != "must_not":
+            continue
+        neg = phrase_scores_from_positions(
+            spark, pos_rel, doc_len_df, stats["n_docs"], stats["avgdl"],
+            list(c.terms), cfg=cfg,
+        )
+        per_doc = per_doc.join(neg.select("doc_id"), "doc_id", "left_anti")
+
+    return (
+        per_doc.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--index", default="web")
     ap.add_argument("--query", action="append", default=None,
                     help="space-separated terms; repeatable")
+    ap.add_argument("--sqs", action="append", default=None,
+                    help="ES simple_query_string (+must -not \"phrase\" |); "
+                         "phrase clauses need a store built with "
+                         "--store-positions; repeatable")
+    ap.add_argument("--default-operator", default="or", choices=["or", "and"],
+                    help="simple_query_string bare-clause operator")
     ap.add_argument("--phrase", action="append", default=None,
                     help="exact phrase (space-separated, order matters); "
                          "needs a store built with --store-positions; "
@@ -107,12 +113,12 @@ def main() -> None:
     args = ap.parse_args()
     if not (args.query or args.phrase or args.prefix or args.fuzzy
             or args.wildcard or args.regexp or args.complete
-            or args.suggest or args.count or args.mget):
-        ap.error("need at least one of --query / --phrase / --prefix / "
-                 "--fuzzy / --wildcard / --regexp / --complete / "
+            or args.suggest or args.count or args.mget or args.sqs):
+        ap.error("need at least one of --query / --sqs / --phrase / "
+                 "--prefix / --fuzzy / --wildcard / --regexp / --complete / "
                  "--suggest / --count / --mget")
     if (args.phrase or args.prefix or args.fuzzy or args.wildcard
-            or args.regexp or args.complete
+            or args.regexp or args.complete or args.sqs
             or args.suggest or args.count or args.mget) and (
             args.routing or args.routing_key or args.alias):
         # --routing-key resolves into a routing value below, so it must be
@@ -143,6 +149,25 @@ def main() -> None:
     # stats/live-docs), serve all queries from the held-open reader
     direct = args.routing is None and args.alias is None
     reader = IndexReader(spark, store) if direct else None
+
+    for qstr in args.sqs or []:
+        from engine.querystring import simple_query_string_store
+
+        lats, rows = [], []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = simple_query_string_store(
+                spark, store, qstr, k=args.k,
+                default_operator=args.default_operator,
+            ).collect()
+            lats.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "sqs": qstr,
+            "default_operator": args.default_operator,
+            "k": args.k,
+            "latency_ms_p50": round(statistics.median(lats), 1),
+            "results": [(r["doc_id"], r["score"]) for r in rows],
+        }))
 
     for ph in args.phrase or []:
         phrase = ph.split()

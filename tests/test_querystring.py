@@ -95,3 +95,53 @@ def test_sqs_pure_negation_is_match_all_minus_excluded(spark):
     df = _df(spark, [(1, "keep me"), (2, "drop this"), (3, "also keep")])
     out = simple_query_string_topk(spark, df, "-drop", k=5).collect()
     assert [(r.doc_id, r.score) for r in out] == [(1, 0.0), (3, 0.0)]
+
+
+def test_sqs_store_matches_corpus_path(spark, tmp_path):
+    """The store path (pushed posting scans + positions sidecar) must be
+    rank-identical to the corpus path for the same query string."""
+    from engine.config import IndexConfig
+    from engine.corpus import webpages
+    from engine.ingest import EARLIEST, as_partitioned_source, run_ingest_loop
+    from engine.merge import merge_segments
+    from engine.querystring import simple_query_string_store
+    from engine.segments import IndexStore
+
+    from engine.querystring import simple_query_string_topk
+
+    cfg = IndexConfig(store_positions=True, store_source=True)
+    store = IndexStore(str(tmp_path), "sqsidx", cfg=cfg).create()
+    src = as_partitioned_source(webpages(spark, 120, partitions=4), 4)
+    run_ingest_loop(spark, store, src, rows_per_partition=30,
+                    start_option=EARLIEST, cfg=cfg)
+    merge_segments(spark, store, cfg=cfg)
+
+    q = 'engine +index -kafka "search engine"'
+    # the stored _source IS the corpus (byte-identical extract invariant),
+    # same doc ids, merged stats cover the corpus -> paths must agree
+    corpus = store.docs(spark).select("doc_id", F.col("source").alias("text"))
+    got = simple_query_string_store(spark, store, q, k=15).collect()
+    exp = simple_query_string_topk(spark, corpus, q, k=15).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_sqs_store_pure_negation_and_no_positions_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from engine.config import IndexConfig
+    from engine.corpus import webpages
+    from engine.ingest import EARLIEST, as_partitioned_source, run_ingest_loop
+    from engine.querystring import simple_query_string_store
+    from engine.segments import IndexStore
+
+    cfg = IndexConfig()  # no positions
+    store = IndexStore(str(tmp_path), "sqsidx2", cfg=cfg).create()
+    src = as_partitioned_source(webpages(spark, 60, partitions=2), 2)
+    run_ingest_loop(spark, store, src, rows_per_partition=30,
+                    start_option=EARLIEST, cfg=cfg)
+    # phrase clause without positions sidecar -> clear error
+    with _pytest.raises(ValueError, match="positions sidecar"):
+        simple_query_string_store(spark, store, '"a b"', k=5)
+    # pure negation: match_all minus excluded at score 0
+    out = simple_query_string_store(spark, store, "-engine", k=1000).collect()
+    assert out and all(r.score == 0.0 for r in out)
