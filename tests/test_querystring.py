@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from engine.querystring import (
     Clause,
@@ -112,7 +113,7 @@ def test_sqs_store_matches_corpus_path(spark, tmp_path):
     cfg = IndexConfig(store_positions=True, store_source=True)
     store = IndexStore(str(tmp_path), "sqsidx", cfg=cfg).create()
     src = as_partitioned_source(webpages(spark, 120, partitions=4), 4)
-    run_ingest_loop(spark, store, src, rows_per_partition=30,
+    run_ingest_loop(spark, store, src, rows_per_partition=15,
                     start_option=EARLIEST, cfg=cfg)
     merge_segments(spark, store, cfg=cfg)
 
