@@ -844,6 +844,21 @@ _PII_SUFFIX_SQL = (
 )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: logistic score over the engineered
+    quality features (deterministic fasttext stand-in), zero shuffles."""
+    from engine.textstats import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf keywords (WindowGroupLimit per-doc top-k)."""
+    from engine.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top_k=5)
+
+
 def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training context-window chunking: overlapping 12-token windows every
     10 tokens, partition-local (zero shuffles)."""
@@ -1668,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_string_and": _q_simple_query_string_and,
         "delete_by_query_search": _q_delete_by_query_search,
         "update_by_query_search": _q_update_by_query_search,
+        "quality_classifier": _q_quality_classifier,
+        "tfidf_keywords": _q_tfidf_keywords,
         "token_chunks": _q_token_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "pii_redact": _q_pii_redact,
@@ -1867,6 +1884,8 @@ def oracle_sql() -> dict[str, str]:
         "simple_query_string_and": _qs().simple_query_string_oracle_sql(
             _SQS_AND_QUERY, k=20, default_operator="and"
         ),
+        "quality_classifier": _ts().quality_classifier_oracle_sql(threshold=0.5),
+        "tfidf_keywords": _ts().tfidf_keywords_oracle_sql(top_k=5),
         "token_chunks": _tp().token_chunks_oracle_sql(window=12, stride=10),
         "chunk_dedup": _tp().chunk_dedup_oracle_sql(chunk_tokens=8),
         "pii_redact": _tp().pii_redact_oracle_sql(

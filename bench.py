@@ -71,6 +71,7 @@ def main() -> None:
         "delete_by_query_search", "update_by_query_search",
         "multi_terms_agg", "rare_terms_agg", "weighted_avg_agg", "mad_agg",
         "match_bool_prefix_topk", "kmeans_clusters",
+        "simple_query_string_store", "quality_classifier", "tfidf_keywords",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
 

@@ -289,3 +289,143 @@ SELECT t.doc_id,
 FROM t JOIN model m USING (term)
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering + tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+# Fixed, documented weights for the linear quality model — the deterministic
+# stand-in for a fasttext-style quality classifier (the real pipeline would
+# train these; the ENGINE contract is the scoring plan, not the weights).
+QUALITY_WEIGHTS = {
+    "stopword_ratio": 2.0,   # English function words -> prose-like
+    "punct_ratio": -3.0,     # symbol soup -> boilerplate/code
+    "upper_ratio": -1.0,     # SHOUTING / headers
+    "len_per_500": 2.0,      # length prior, saturates at 500 tokens
+    "bias": -0.5,
+}
+
+
+def quality_classifier(
+    df: DataFrame, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, quality_score, keep): logistic quality model over the
+    engineered features — sigmoid(w . x + b) with QUALITY_WEIGHTS, `keep`
+    = score >= threshold. The model-based filtering stage of a training
+    pipeline (CCNet/fasttext shape) with a deterministic linear model.
+
+    Plan: quality_features is a pure codegen scan; the score adds column
+    arithmetic on top — still zero shuffles, linear in corpus bytes."""
+    w = QUALITY_WEIGHTS
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
+    z = (
+        F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["upper_ratio"]) * F.col("upper_ratio")
+        + F.lit(w["len_per_500"]) * F.least(F.col("n_tokens"), F.lit(500)) / 500.0
+        + F.lit(w["bias"])
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SCORE_DECIMALS)
+    return feats.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= F.lit(threshold)).cast("int").alias("keep"),
+    )
+
+
+def quality_classifier_oracle_sql(
+    threshold: float = 0.5, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    w = QUALITY_WEIGHTS
+    inner = quality_features_oracle_sql(table, text_col, id_col)
+    return f"""
+WITH feats AS ({inner})
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(
+         {w["stopword_ratio"]} * stopword_ratio
+         + {w["punct_ratio"]} * punct_ratio
+         + {w["upper_ratio"]} * upper_ratio
+         + {w["len_per_500"]} * least(n_tokens, 500) / 500.0
+         + {w["bias"]}))), {SCORE_DECIMALS}) AS quality_score,
+       CAST(round(1.0 / (1.0 + exp(-(
+         {w["stopword_ratio"]} * stopword_ratio
+         + {w["punct_ratio"]} * punct_ratio
+         + {w["upper_ratio"]} * upper_ratio
+         + {w["len_per_500"]} * least(n_tokens, 500) / 500.0
+         + {w["bias"]}))), {SCORE_DECIMALS}) >= {threshold} AS INT) AS keep
+FROM feats
+"""
+
+
+def tfidf_keywords(
+    docs: DataFrame, top_k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, tfidf, rank): each doc's top-`top_k` terms by
+    tf * ln(n_docs / df) — classic tf-idf keyword extraction (the cheap
+    document-labeling pass of a corpus pipeline). Ties break by term asc.
+
+    Plan: ONE tf shuffle (doc_id, term), a vocabulary-bounded df aggregate
+    broadcast back, then the per-doc top-k as row_number() <= k — which
+    Spark 4 compiles to the map-side WindowGroupLimit pair, so a long doc
+    ships at most k rows per partition past the partial limit."""
+    from engine.analysis import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), SCORE_DECIMALS
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def tfidf_keywords_oracle_sql(
+    top_k: int = 5, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM {table}),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(n.n * 1.0 / df), {SCORE_DECIMALS}) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {top_k}
+"""

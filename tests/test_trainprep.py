@@ -113,3 +113,41 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     train = _df(spark, [(1, "one two three four five six seven eight nine")])
     plan = contamination(train, bench, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---- quality classifier + tf-idf keywords (engine/textstats.py) ----
+
+
+def test_quality_classifier_orders_prose_over_noise(spark):
+    from engine.textstats import quality_classifier
+
+    df = _df(
+        spark,
+        [(1, "the cat and the dog sat in that house for it was warm"),
+         (2, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"),
+         (3, None)],
+    )
+    out = {r.doc_id: r for r in quality_classifier(df).collect()}
+    assert out[1].quality_score > out[2].quality_score
+    assert out[1].keep == 1 and out[2].keep == 0
+    assert out[3].keep == 0  # empty doc scores at the bias floor
+
+
+def test_tfidf_keywords_topk_and_tiebreak(spark):
+    from engine.textstats import tfidf_keywords
+
+    df = _df(
+        spark,
+        [(1, "rare rare rare shared"),
+         (2, "shared other other"),
+         (3, "shared thing")],
+    )
+    out = tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # 'rare' (df=1) dominates doc 1; 'shared' (df=3) has idf ln(1)=0
+    assert sorted(by_doc[1])[0] == (1, "rare")
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 3: both terms, tfidf 0 for shared; 'thing' (df=1) wins rank 1
+    assert sorted(by_doc[3])[0] == (1, "thing")

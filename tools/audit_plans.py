@@ -372,6 +372,12 @@ def main() -> None:
         # exchanges; AQE hides codegen markers pre-execution): no join, no
         # generate — the argmin is pure projection
         "kmeans_clusters": ([r"Scan parquet"], [r"Join", r"CartesianProduct", r"Generate"]),
+        # quality model is a pure codegen scan; tfidf's per-doc top-k must
+        # compile to the WindowGroupLimit pair
+        "quality_classifier": ([r"codegen id"], [r"Exchange", r"Join"]),
+        "tfidf_keywords": ([r"WindowGroupLimit", r"BroadcastHashJoin"], [r"CartesianProduct"]),
+        # store-side sqs: pushed term filter like every store search
+        "simple_query_string_store": ([r"PushedFilters: \[.*[Ii]n\(term"], [r"CartesianProduct"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
