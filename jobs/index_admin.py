@@ -132,6 +132,21 @@ def main(argv: list[str] | None = None) -> int:
     puq.add_argument("--batch-id", type=int, default=0)
     add_common(sub.add_parser("list"), need_index=False)
     add_common(sub.add_parser("stats"))
+    ptp = sub.add_parser("put-template", help="ES _template: create-time "
+                         "settings applied to indexes matching a pattern")
+    ptp.add_argument("--index-root", required=True)
+    ptp.add_argument("--name", required=True)
+    ptp.add_argument("--pattern", required=True,
+                     help="fnmatch pattern over index names, e.g. 'logs-*'")
+    ptp.add_argument("--settings", required=True,
+                     help='JSON settings object, e.g. \'{"codec": "pfor"}\'')
+    ptp.add_argument("--order", type=int, default=0,
+                     help="higher order overrides per setting (ES merge)")
+    pdt = sub.add_parser("delete-template")
+    pdt.add_argument("--index-root", required=True)
+    pdt.add_argument("--name", required=True)
+    plt = sub.add_parser("list-templates")
+    plt.add_argument("--index-root", required=True)
     args = ap.parse_args(argv)
 
     from engine.fanout import discover_indexes
@@ -275,8 +290,39 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
-    codec = args.codec if args.cmd in ("create", "create-and-alias") else "varint"
-    store = IndexStore(args.index_root, args.index, cfg=IndexConfig(codec=codec))
+    if args.cmd == "put-template":
+        from engine.templates import put_template
+
+        entry = put_template(args.index_root, args.name, args.pattern,
+                             json.loads(args.settings), order=args.order)
+        print(json.dumps({"acknowledged": True, "template": entry}))
+        return 0
+    if args.cmd == "delete-template":
+        from engine.templates import delete_template
+
+        ok = delete_template(args.index_root, args.name)
+        print(json.dumps({"acknowledged": ok}))
+        return 0 if ok else 1
+    if args.cmd == "list-templates":
+        from engine.templates import get_templates
+
+        print(json.dumps({"templates": get_templates(args.index_root)}))
+        return 0
+
+    if args.cmd in ("create", "create-and-alias"):
+        # template settings as defaults, explicit --codec winning (ES
+        # request-over-template precedence). argparse defaults --codec to
+        # "varint", so only a non-default flag counts as explicit.
+        from engine.templates import resolve_create_config
+
+        explicit = {} if args.codec == "varint" else {"codec": args.codec}
+        cfg, applied = resolve_create_config(args.index_root, args.index, explicit)
+        store = IndexStore(args.index_root, args.index, cfg=cfg)
+        template_applied = applied
+    else:
+        store = IndexStore(args.index_root, args.index,
+                           cfg=IndexConfig(codec="varint"))
+        template_applied = {}
     if args.cmd == "create-and-alias":
         existed = store.exists()
         store.create_and_alias(args.alias, *_parse_filter(args.filter),
@@ -291,7 +337,9 @@ def main(argv: list[str] | None = None) -> int:
                               "reason": "exists"}))
             return 0
         store.create()
-        print(json.dumps({"index": args.index, "created": True}))
+        print(json.dumps({"index": args.index, "created": True,
+                          **({"template_settings": template_applied}
+                             if template_applied else {})}))
         return 0
 
     if not store.exists():
