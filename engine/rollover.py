@@ -73,7 +73,20 @@ def rollover(
     }
     if do_roll and not dry_run:
         spec = cur.alias_spec(alias)
-        new = IndexStore(root, out["new_index"], cfg=cur.cfg).create()
+        # ES rollover creates the target like any new index: matching
+        # index templates drive its settings. Template settings are applied
+        # OVER the inherited cfg (a codec template flips the new
+        # generation's codec — the hot->warm tiering move); settings no
+        # template covers carry over from the current generation.
+        from dataclasses import replace
+
+        from engine.templates import template_settings_for
+
+        tpl = template_settings_for(root, out["new_index"])
+        new_cfg = replace(cur.cfg, **tpl) if tpl else cur.cfg
+        if tpl:
+            out["template_settings"] = tpl
+        new = IndexStore(root, out["new_index"], cfg=new_cfg).create()
         # atomic enough for a single-writer metadata dir: new index gets
         # the alias first, then the old one drops it (a reader mid-swap
         # sees the alias on one or both generations, never on none)

@@ -66,3 +66,24 @@ def test_create_cli_applies_template(tmp_path, capsys):
     rc = main(["create", "--index-root", root, "--index", "web"])
     assert rc == 0
     assert IndexStore(root, "web").codec == "varint"
+
+
+def test_rollover_generation_consults_templates(spark, tmp_path):
+    from engine.corpus import webpages
+    from engine.ingest import EARLIEST, as_partitioned_source, run_ingest_loop
+    from engine.rollover import rollover
+    from engine.segments import IndexStore
+
+    root = str(tmp_path)
+    put_template(root, "warm", "gen-*", {"codec": "pfor"})
+    store = IndexStore(root, "gen-000001").create()
+    src = as_partitioned_source(webpages(spark, 60, partitions=2), 2)
+    run_ingest_loop(spark, store, src, rows_per_partition=30,
+                    start_option=EARLIEST)
+    store.add_alias("writes")
+    out = rollover(root, "writes", max_docs=1)
+    assert out["rolled_over"]
+    assert out["template_settings"] == {"codec": "pfor"}
+    assert IndexStore(root, out["new_index"]).codec == "pfor"
+    # old generation untouched
+    assert IndexStore(root, "gen-000001").codec == "varint"
