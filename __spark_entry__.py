@@ -1093,6 +1093,18 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup: k-means blocking + within-cluster cosine near-dup pairs —
+    the all-pairs compare is bounded by the largest cluster, not the
+    corpus (cosine_pairs is the full recall oracle, pytest-compared).
+    Threshold 0.35 targets this synthetic table's similarity tail (its
+    max pairwise cosine is ~0.5) so the check is non-vacuous."""
+    from engine.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_pairs(spark, emb, threshold=0.35, k=10, n_iters=2)
+
+
 def _q_kmeans(spark, sf_dir):
     """Deterministic Lloyd k-means over embeddings (k=10, 2 iters) — the
     SemDeDup cluster-then-dedup scale path; assignment is a partition-local
@@ -1691,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "simhash_near_pairs": _q_simhash_pairs,
         "kmeans_clusters": _q_kmeans,
+        "semdedup_pairs": _q_semdedup,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1904,6 +1917,9 @@ def oracle_sql() -> dict[str, str]:
             _ann_query_vec(), k=15, n_cells=16, n_probes=4
         ),
         "kmeans_clusters": _sim().kmeans_oracle_sql(k=10, n_iters=2),
+        "semdedup_pairs": _sim().semdedup_oracle_sql(
+            threshold=0.35, k=10, n_iters=2
+        ),
         "cosine_topk": _sim().cosine_topk_oracle_sql(_ann_query_vec(), k=15),
         "cosine_pairs": _sim().cosine_pairs_oracle_sql(threshold=0.5),
         "function_score": _sa().function_score_oracle_sql(

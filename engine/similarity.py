@@ -749,3 +749,84 @@ FROM a{last}
 ORDER BY vec_id
 """
     return sql
+
+
+def semdedup_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float = 0.95,
+    k: int = 10,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    find near-duplicate pairs (cosine >= threshold) ONLY within each
+    cluster — the all-pairs comparison is bounded by the largest cluster,
+    never the corpus. Returns (id_a, id_b, cosine) with a `cluster` column.
+
+    100 TB shape: the candidate join is an equi-join on `cluster` — the
+    same banded-candidates discipline as MinHash-LSH, with k-means as the
+    blocking function. With k sized so clusters are ~n/k docs, the
+    comparison count drops from n^2 to ~n^2/k; the exact cosine verify
+    runs only inside blocks. The full-corpus brute force (cosine_pairs)
+    is the recall oracle; pytest asserts within-cluster pairs are a
+    subset of it with recall reported.
+    """
+    assigned = kmeans_assign(
+        spark, df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster")
+    n = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).join(assigned, "vec_id")
+    a, b = n.alias("a"), n.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, SCORE_DECIMALS).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def semdedup_oracle_sql(
+    threshold: float = 0.95,
+    k: int = 10,
+    n_iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """k-means oracle as a CTE + within-cluster cosine pairs."""
+    km = kmeans_oracle_sql(k=k, n_iters=n_iters, table=table,
+                           id_col=id_col, vec_col=vec_col)
+    return f"""
+WITH assign AS ({km}),
+n AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x*x))) AS nrm
+  FROM {table}
+),
+j AS (SELECT n.vec_id, n.v, n.nrm, assign.cluster
+      FROM n JOIN assign USING (vec_id))
+SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12),
+             {SCORE_DECIMALS}) AS cosine
+FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-12),
+            {SCORE_DECIMALS}) >= {threshold}
+ORDER BY id_a, id_b
+"""

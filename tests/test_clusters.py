@@ -118,3 +118,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     df = spark.createDataFrame(rows)
     out = kmeans_assign(spark, df, k=2, n_iters=3).collect()
     assert len(out) == 3
+
+
+def test_semdedup_subset_of_bruteforce_with_recall(spark):
+    from engine.similarity import cosine_pairs, semdedup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(spark, emb, threshold=0.35, k=10,
+                                n_iters=2).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(emb, threshold=0.35).collect()
+    }
+    assert blocked <= full
+    # k-means blocking on a weakly-clustered table keeps only same-cluster
+    # pairs; report recall and require it non-degenerate
+    assert full and len(blocked) / len(full) > 0.05

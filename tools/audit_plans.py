@@ -378,6 +378,9 @@ def main() -> None:
         "tfidf_keywords": ([r"WindowGroupLimit", r"BroadcastHashJoin"], [r"CartesianProduct"]),
         # store-side sqs: pushed term filter like every store search
         "simple_query_string_store": ([r"PushedFilters: \[.*[Ii]n\(term"], [r"CartesianProduct"]),
+        # SemDeDup: the pair join must be the cluster equi-join (k-means as
+        # the blocking function) — never an unblocked cross
+        "semdedup_pairs": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
