@@ -1319,6 +1319,16 @@ def _q_histogram_agg(spark, sf_dir):
     return histogram_agg(_docs(spark, sf_dir), "n_chars", 50, value_col="n_chars")
 
 
+def _q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (inverse percentiles), exact tier: one
+    conditional-sum aggregate pass for all requested values."""
+    from engine.aggs import percentile_ranks_agg
+
+    return percentile_ranks_agg(
+        _docs(spark, sf_dir), "n_chars", [200.0, 300.0, 400.0]
+    )
+
+
 def _q_percentiles_agg(spark, sf_dir):
     """ES `percentiles`, exact tier (linear interpolation, identical in
     Spark `percentile` and DuckDB `quantile_cont`); the t-digest-style
@@ -1463,6 +1473,16 @@ def _q_shard_doc_stats(spark, sf_dir):
     from engine.aggs import routing_doc_counts
 
     return routing_doc_counts(spark, _shared_store(spark, sf_dir))
+
+
+def _q_terms_lookup(spark, sf_dir):
+    """ES terms query with document lookup: term set fetched from doc 7
+    (pushed point filter), broadcast arrays_overlap constant-score match."""
+    from engine.searchapi import terms_lookup_query
+
+    return terms_lookup_query(
+        spark, _docs(spark, sf_dir), lookup_doc_id=7, max_terms=8, k=25
+    )
 
 
 def _q_sort_search_after(spark, sf_dir):
@@ -1731,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_agg": _q_cardinality_agg,
         "histogram_agg": _q_histogram_agg,
         "percentiles_agg": _q_percentiles_agg,
+        "percentile_ranks_agg": _q_percentile_ranks,
         "top_hits_agg": _q_top_hits_agg,
         "composite_agg": _q_composite_agg,
         "range_agg": _q_range_agg,
@@ -1738,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "shard_doc_stats": _q_shard_doc_stats,
         "sort_search_after": _q_sort_search_after,
+        "terms_lookup": _q_terms_lookup,
         "analyze_text": _q_analyze,
         "term_vectors": _q_term_vectors,
         "msearch": _q_msearch,
@@ -1984,6 +2006,9 @@ def oracle_sql() -> dict[str, str]:
             "n_chars", 50, value_col="n_chars"
         ),
         "percentiles_agg": _ag().percentiles_agg_oracle_sql("n_chars"),
+        "percentile_ranks_agg": _ag().percentile_ranks_oracle_sql(
+            "n_chars", [200.0, 300.0, 400.0]
+        ),
         "top_hits_agg": _ab().top_hits_oracle_sql(
             "lang", "n_chars", n_buckets=4, n_hits=3
         ),
@@ -2005,6 +2030,9 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _sa().term_vectors_oracle_sql(_TERMVEC_IDS),
         "msearch": _sa().msearch_oracle_sql(_MSEARCH, k=10),
         "rank_eval": _sa().rank_eval_oracle_sql(_MSEARCH, _QRELS, k=10),
+        "terms_lookup": _sa().terms_lookup_oracle_sql(
+            lookup_doc_id=7, max_terms=8, k=25
+        ),
         "sort_search_after": _sa().sort_search_after_oracle_sql(
             "n_chars", after=_SORT_AFTER, k=20
         ),

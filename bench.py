@@ -72,7 +72,7 @@ def main() -> None:
         "multi_terms_agg", "rare_terms_agg", "weighted_avg_agg", "mad_agg",
         "match_bool_prefix_topk", "kmeans_clusters",
         "simple_query_string_store", "quality_classifier", "tfidf_keywords",
-        "semdedup_pairs",
+        "semdedup_pairs", "percentile_ranks_agg", "terms_lookup",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
 

@@ -720,3 +720,45 @@ def mad_oracle_sql(group_col: str, field: str, table: str = "documents") -> str:
         GROUP BY t.{group_col}
         ORDER BY t.{group_col}
     """
+
+
+def percentile_ranks_agg(
+    df: DataFrame, field: str, values: list[float]
+) -> DataFrame:
+    """ES `percentile_ranks`: for each requested value, the percentage of
+    observations <= it — the inverse of `percentiles`. Exact tier: one
+    aggregate computing all ranks in a single pass (conditional sums); the
+    scale path is the same t-digest/approx family as percentiles_approx.
+    """
+    n = F.count(F.lit(1))
+    aggs = [
+        F.round(
+            F.sum((F.col(field) <= F.lit(float(v))).cast("int")) * 100.0 / n,
+            SCORE_DECIMALS,
+        ).alias(f"_r{i}")
+        for i, v in enumerate(values)
+    ]
+    row = df.agg(*aggs)
+    vals = F.array(*[F.lit(float(v)) for v in values])
+    ranks = F.array(*[F.col(f"_r{i}") for i in range(len(values))])
+    return (
+        row.select(F.posexplode(F.arrays_zip(vals, ranks)).alias("_i", "_s"))
+        .select(
+            F.col("_s.0").alias("value"),
+            F.col("_s.1").alias("percent_rank"),
+        )
+        .orderBy("value")
+    )
+
+
+def percentile_ranks_oracle_sql(
+    field: str, values: list[float], table: str = "documents"
+) -> str:
+    sels = []
+    for v in values:
+        sels.append(
+            f"SELECT CAST({float(v)} AS DOUBLE) AS value, "
+            f"round(100.0 * sum(CASE WHEN {field} <= {float(v)} THEN 1 ELSE 0 END)"
+            f" / count(*), {SCORE_DECIMALS}) AS percent_rank FROM {table}"
+        )
+    return " UNION ALL ".join(sels) + " ORDER BY value"

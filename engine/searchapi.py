@@ -1264,3 +1264,72 @@ SELECT p.query_id,
 FROM per_q p JOIN n_rel n USING (query_id) JOIN ideal i USING (query_id)
 ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# terms lookup query (ES `terms` query with document lookup)
+# ---------------------------------------------------------------------------
+
+
+def terms_lookup_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    lookup_doc_id: int,
+    max_terms: int = 10,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `terms` query with lookup: the term set is FETCHED from another
+    document (terms lookup mechanism — "docs like the ones user X
+    follows"), then every doc containing ANY of those terms matches with
+    constant score 1.0 (terms query is non-scoring filter context).
+    The lookup takes the first `max_terms` distinct tokens of the lookup
+    doc in sorted order (deterministic).
+
+    Plan: the lookup fetch is a pushed doc-id point filter (one row to the
+    driver — exactly ES's GET of the lookup doc); the term set then rides
+    a broadcast `arrays_overlap` filter — scan -> filter -> first-k, no
+    join against the corpus."""
+    from engine.analysis import tokens
+
+    row = (
+        docs.where(F.col(id_col) == lookup_doc_id)
+        .select(F.array_distinct(tokens(text_col)).alias("t"))
+        .collect()
+    )
+    terms = sorted(row[0]["t"])[:max_terms] if row else []
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    lits = F.array(*[F.lit(t) for t in terms])
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .where(F.arrays_overlap(F.col("_t"), lits))
+        .select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def terms_lookup_oracle_sql(
+    lookup_doc_id: int,
+    max_terms: int = 10,
+    k: int = 20,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    return f"""
+WITH lk AS (
+  SELECT unnest(list_distinct({toks})) AS term
+  FROM {table} WHERE {id_col} = {lookup_doc_id}
+),
+terms AS (SELECT term FROM lk ORDER BY term LIMIT {max_terms}),
+tl AS (SELECT list(term) AS ts FROM terms)
+SELECT {id_col} AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM {table} CROSS JOIN tl
+WHERE list_has_any({toks}, tl.ts)
+ORDER BY doc_id ASC
+LIMIT {k}
+"""

@@ -381,6 +381,9 @@ def main() -> None:
         # SemDeDup: the pair join must be the cluster equi-join (k-means as
         # the blocking function) — never an unblocked cross
         "semdedup_pairs": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+        # terms lookup: broadcast arrays_overlap filter, no corpus join
+        "terms_lookup": ([], [r"SortMergeJoin", r"CartesianProduct"]),
+        "percentile_ranks_agg": ([r"HashAggregate"], [r"Join"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
