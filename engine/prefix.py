@@ -172,7 +172,11 @@ def match_bool_prefix_oracle_sql(
     toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_PATTERN}')"
     term_part = ""
     if full:
-        terms_values = ", ".join(f"('{t}')" for t in sorted(set(full)))
+        # quote like the sibling oracles (engine/phrase._sql_quote): an
+        # apostrophe in a term must not break the generated SQL
+        from engine.phrase import _sql_quote
+
+        terms_values = ", ".join(f"({_sql_quote(t)})" for t in sorted(set(full)))
         term_part = f"""
   SELECT tf.doc_id,
          ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -184,6 +188,7 @@ def match_bool_prefix_oracle_sql(
   JOIN dl USING (doc_id)
   CROSS JOIN stats
   UNION ALL"""
+    last_esc = last.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
@@ -197,7 +202,7 @@ WITH toks AS (
   SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
 ), contribs AS ({term_part}
   SELECT DISTINCT doc_id, 1.0 AS contrib
-  FROM toks WHERE term LIKE '{last}%'
+  FROM toks WHERE term LIKE '{last_esc}%' ESCAPE '\\'
 )
 SELECT doc_id, round(sum(contrib), {SCORE_DECIMALS}) AS score
 FROM contribs

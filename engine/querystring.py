@@ -95,6 +95,83 @@ def parse_simple_query_string(
     return deduped
 
 
+
+def _compile_clauses(clauses: list[Clause]):
+    """Shared clause bucketing for both execution paths: returns
+    (must_terms, should_terms, neg_terms, phrases, scoring_terms, n_must,
+    need_should) with ES minimum_should_match defaults."""
+    must_terms = {c.terms[0] for c in clauses if c.occur == "must" and c.kind == "term"}
+    should_terms = {
+        c.terms[0] for c in clauses if c.occur == "should" and c.kind == "term"
+    }
+    neg_terms = sorted(
+        {c.terms[0] for c in clauses if c.occur == "must_not" and c.kind == "term"}
+    )
+    phrases = [c for c in clauses if c.kind == "phrase"]
+    scoring_terms = sorted(must_terms | should_terms)
+    n_must = len(must_terms) + sum(1 for c in phrases if c.occur == "must")
+    has_should = bool(should_terms) or any(c.occur == "should" for c in phrases)
+    need_should = 1 if (n_must == 0 and has_should) else 0
+    return must_terms, should_terms, neg_terms, phrases, scoring_terms, n_must, need_should
+
+
+def _occur_table(spark, scoring_terms, must_terms, should_terms):
+    return spark.createDataFrame(
+        [
+            (t, 1 if t in must_terms else 0, 1 if t in should_terms else 0)
+            for t in scoring_terms
+        ],
+        "term string, is_must int, is_should int",
+    )
+
+
+def _execute_bool(
+    spark: SparkSession,
+    parts: list[DataFrame],
+    n_must: int,
+    need_should: int,
+    has_negation: bool,
+    matchall,
+    neg_doc_sets: list,
+    k: int,
+) -> DataFrame:
+    """Shared bool execution for both paths: union clause contribs, apply
+    must/should gates, anti-join exclusions, round + top-k. `parts` rows
+    are (doc_id, contrib, is_must, is_should); `matchall()` supplies the
+    (doc_id) base for pure-negation queries; `neg_doc_sets` are thunks
+    yielding (doc_id) relations to anti-join (ES filter context)."""
+    if not parts:
+        if not has_negation:
+            return spark.createDataFrame([], "doc_id long, score double")
+        # pure-negation query: ES rewrites to match_all minus the excluded
+        # docs, every hit scored 0 (bool with only must_not)
+        per_doc = matchall().select("doc_id", F.lit(0.0).alias("raw_score"))
+    else:
+        rel = parts[0]
+        for p in parts[1:]:
+            rel = rel.unionByName(p)
+        per_doc = rel.groupBy("doc_id").agg(
+            F.sum("contrib").alias("raw_score"),
+            F.sum("is_must").alias("n_must_matched"),
+            F.sum("is_should").alias("n_should_matched"),
+        )
+        if n_must:
+            per_doc = per_doc.where(F.col("n_must_matched") >= F.lit(n_must))
+        if need_should:
+            per_doc = per_doc.where(
+                F.col("n_should_matched") >= F.lit(need_should)
+            )
+    for thunk in neg_doc_sets:
+        per_doc = per_doc.join(thunk().select("doc_id"), "doc_id", "left_anti")
+    return (
+        per_doc.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def simple_query_string_topk(
     spark: SparkSession,
     docs: DataFrame,
@@ -107,31 +184,14 @@ def simple_query_string_topk(
 ) -> DataFrame:
     """(doc_id, score) top-k for a simple_query_string query."""
     clauses = parse_simple_query_string(q, default_operator)
-    must_terms = [c.terms[0] for c in clauses if c.occur == "must" and c.kind == "term"]
-    should_terms = [
-        c.terms[0] for c in clauses if c.occur == "should" and c.kind == "term"
-    ]
-    neg_terms = [
-        c.terms[0] for c in clauses if c.occur == "must_not" and c.kind == "term"
-    ]
-    phrases = [c for c in clauses if c.kind == "phrase"]
-    scoring_terms = sorted(set(must_terms) | set(should_terms))
-    n_must = len(set(must_terms)) + sum(1 for c in phrases if c.occur == "must")
-    has_should = bool(should_terms) or any(c.occur == "should" for c in phrases)
-    # ES minimum_should_match default: 1 when there are no must clauses
-    need_should = 1 if (n_must == 0 and has_should) else 0
+    (must_terms, should_terms, neg_terms, phrases, scoring_terms, n_must,
+     need_should) = _compile_clauses(clauses)
 
     # per-doc clause match/score relation: (doc_id, contrib, is_must,
     # is_should). Term clauses ride ONE shared bm25_contribs pass.
     parts = []
     if scoring_terms:
-        occur_rows = [
-            (t, 1 if t in set(must_terms) else 0, 1 if t in set(should_terms) else 0)
-            for t in scoring_terms
-        ]
-        occ = spark.createDataFrame(
-            occur_rows, "term string, is_must int, is_should int"
-        )
+        occ = _occur_table(spark, scoring_terms, must_terms, should_terms)
         parts.append(
             bm25_contribs(
                 spark, docs, scoring_terms, cfg=cfg, id_col=id_col,
@@ -152,53 +212,36 @@ def simple_query_string_topk(
                 F.lit(1 if c.occur == "should" else 0).alias("is_should"),
             )
         )
-    if not parts:
-        if not neg_terms and not any(c.occur == "must_not" for c in phrases):
-            return spark.createDataFrame([], "doc_id long, score double")
-        # pure-negation query: ES rewrites it to match_all minus the
-        # excluded docs, every hit scored 0 (bool with only must_not)
-        per_doc = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.lit(0.0).alias("raw_score"),
-        )
-    else:
-        rel = parts[0]
-        for p in parts[1:]:
-            rel = rel.unionByName(p)
-        per_doc = rel.groupBy("doc_id").agg(
-            F.sum("contrib").alias("raw_score"),
-            F.sum("is_must").alias("n_must_matched"),
-            F.sum("is_should").alias("n_should_matched"),
-        )
-    if n_must:
-        per_doc = per_doc.where(F.col("n_must_matched") >= F.lit(n_must))
-    if need_should:
-        per_doc = per_doc.where(F.col("n_should_matched") >= F.lit(need_should))
 
-    # must_not: broadcast-filtered exclusion, non-scoring (filter context)
+    def _matchall():
+        return docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    neg_sets = []
     if neg_terms:
-        negq = spark.createDataFrame(
-            [(t,) for t in sorted(set(neg_terms))], "term string"
-        )
-        neg_docs = (
-            corpus_tokens(docs, id_col, text_col)
-            .join(F.broadcast(negq), "term")
-            .select("doc_id")
-            .distinct()
-        )
-        per_doc = per_doc.join(neg_docs, "doc_id", "left_anti")
-    for c in phrases:
-        if c.occur != "must_not":
-            continue
-        neg = phrase_scores(spark, docs, list(c.terms), cfg, id_col, text_col)
-        per_doc = per_doc.join(neg.select("doc_id"), "doc_id", "left_anti")
+        def _neg_term_docs(neg_terms=neg_terms):
+            negq = spark.createDataFrame(
+                [(t,) for t in neg_terms], "term string"
+            )
+            # broadcast-filtered exclusion, non-scoring (filter context)
+            return (
+                corpus_tokens(docs, id_col, text_col)
+                .join(F.broadcast(negq), "term")
+                .select("doc_id")
+                .distinct()
+            )
 
-    return (
-        per_doc.select(
-            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
-        )
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
+        neg_sets.append(_neg_term_docs)
+    for c in phrases:
+        if c.occur == "must_not":
+            neg_sets.append(
+                lambda c=c: phrase_scores(
+                    spark, docs, list(c.terms), cfg, id_col, text_col
+                )
+            )
+
+    has_neg = bool(neg_terms) or any(c.occur == "must_not" for c in phrases)
+    return _execute_bool(
+        spark, parts, n_must, need_should, has_neg, _matchall, neg_sets, k
     )
 
 
@@ -365,18 +408,8 @@ def simple_query_string_store(
     from engine.query import index_term_contribs
 
     clauses = parse_simple_query_string(q, default_operator)
-    must_terms = {c.terms[0] for c in clauses if c.occur == "must" and c.kind == "term"}
-    should_terms = {
-        c.terms[0] for c in clauses if c.occur == "should" and c.kind == "term"
-    }
-    neg_terms = sorted(
-        {c.terms[0] for c in clauses if c.occur == "must_not" and c.kind == "term"}
-    )
-    phrases = [c for c in clauses if c.kind == "phrase"]
-    scoring_terms = sorted(must_terms | should_terms)
-    n_must = len(must_terms) + sum(1 for c in phrases if c.occur == "must")
-    has_should = bool(should_terms) or any(c.occur == "should" for c in phrases)
-    need_should = 1 if (n_must == 0 and has_should) else 0
+    (must_terms, should_terms, neg_terms, phrases, scoring_terms, n_must,
+     need_should) = _compile_clauses(clauses)
 
     if phrases and not store_has_positions(store):
         raise ValueError(
@@ -390,13 +423,7 @@ def simple_query_string_store(
 
     parts = []
     if scoring_terms:
-        occ = spark.createDataFrame(
-            [
-                (t, 1 if t in must_terms else 0, 1 if t in should_terms else 0)
-                for t in scoring_terms
-            ],
-            "term string, is_must int, is_should int",
-        )
+        occ = _occur_table(spark, scoring_terms, must_terms, should_terms)
         parts.append(
             index_term_contribs(
                 postings, stats["n_docs"], stats["avgdl"], scoring_terms,
@@ -412,60 +439,42 @@ def simple_query_string_store(
         doc_len_df = (live if live is not None else docs).select(
             "doc_id", "doc_len"
         )
+
+    def _phrase_rel(c):
+        return phrase_scores_from_positions(
+            spark, pos_rel, doc_len_df, stats["n_docs"], stats["avgdl"],
+            list(c.terms), cfg=cfg,
+        )
+
     for c in phrases:
         if c.occur == "must_not":
             continue
         parts.append(
-            phrase_scores_from_positions(
-                spark, pos_rel, doc_len_df, stats["n_docs"], stats["avgdl"],
-                list(c.terms), cfg=cfg,
-            ).select(
+            _phrase_rel(c).select(
                 "doc_id",
                 F.col("raw_score").alias("contrib"),
                 F.lit(1 if c.occur == "must" else 0).alias("is_must"),
                 F.lit(1 if c.occur == "should" else 0).alias("is_should"),
             )
         )
-    if not parts:
-        if not neg_terms and not any(c.occur == "must_not" for c in phrases):
-            return spark.createDataFrame([], "doc_id long, score double")
-        base = live if live is not None else store.docs(spark)
-        per_doc = base.select("doc_id", F.lit(0.0).alias("raw_score"))
-    else:
-        rel = parts[0]
-        for p in parts[1:]:
-            rel = rel.unionByName(p)
-        per_doc = rel.groupBy("doc_id").agg(
-            F.sum("contrib").alias("raw_score"),
-            F.sum("is_must").alias("n_must_matched"),
-            F.sum("is_should").alias("n_should_matched"),
-        )
-        if n_must:
-            per_doc = per_doc.where(F.col("n_must_matched") >= F.lit(n_must))
-        if need_should:
-            per_doc = per_doc.where(
-                F.col("n_should_matched") >= F.lit(need_should)
-            )
 
+    def _matchall():
+        base = live if live is not None else store.docs(spark)
+        return base.select("doc_id")
+
+    neg_sets = []
     if neg_terms:
-        neg_blocks = postings.where(F.col("term").isin(neg_terms))
-        per_doc = per_doc.join(
-            decode_postings_doc_ids(neg_blocks, codec=store.codec),
-            "doc_id", "left_anti",
+        neg_sets.append(
+            lambda: decode_postings_doc_ids(
+                postings.where(F.col("term").isin(neg_terms)),
+                codec=store.codec,
+            )
         )
     for c in phrases:
-        if c.occur != "must_not":
-            continue
-        neg = phrase_scores_from_positions(
-            spark, pos_rel, doc_len_df, stats["n_docs"], stats["avgdl"],
-            list(c.terms), cfg=cfg,
-        )
-        per_doc = per_doc.join(neg.select("doc_id"), "doc_id", "left_anti")
+        if c.occur == "must_not":
+            neg_sets.append(lambda c=c: _phrase_rel(c))
 
-    return (
-        per_doc.select(
-            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
-        )
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
+    has_neg = bool(neg_terms) or any(c.occur == "must_not" for c in phrases)
+    return _execute_bool(
+        spark, parts, n_must, need_should, has_neg, _matchall, neg_sets, k
     )

@@ -57,6 +57,16 @@ def reindex(
             "source index was built without store_source=True (_source "
             "disabled) — reindex needs the stored source text"
         )
+    # only LIVE docs cross: superseded versions are deduped again by the
+    # ingest body's last-write-wins, but delete_by_query tombstones
+    # (engine/updates.py) exist only in the SOURCE's ledger — copying a
+    # tombstoned doc would resurrect it in the destination (ES _reindex
+    # copies live docs only)
+    from engine.merge import live_docs_for_store
+
+    live = live_docs_for_store(spark, src_store, docs)
+    if live is not None:
+        docs = docs.join(live.select("doc_id"), "doc_id", "left_semi")
     window = docs.select(
         "url", "warc_ts", "part_id", "row_offset",
         F.col("source").alias("extracted_text"),

@@ -75,15 +75,17 @@ def rollover(
         spec = cur.alias_spec(alias)
         # ES rollover creates the target like any new index: matching
         # index templates drive its settings. Template settings are applied
-        # OVER the inherited cfg (a codec template flips the new
-        # generation's codec — the hot->warm tiering move); settings no
-        # template covers carry over from the current generation.
+        # OVER the current generation's PERSISTED settings (_meta.json via
+        # persisted_config — cur.cfg is just the in-memory default; the
+        # old generation's codec/routing/positions must carry over unless
+        # a template overrides them: the hot->warm tiering move).
         from dataclasses import replace
 
         from engine.templates import template_settings_for
 
+        base_cfg = cur.persisted_config()
         tpl = template_settings_for(root, out["new_index"])
-        new_cfg = replace(cur.cfg, **tpl) if tpl else cur.cfg
+        new_cfg = replace(base_cfg, **tpl) if tpl else base_cfg
         if tpl:
             out["template_settings"] = tpl
         new = IndexStore(root, out["new_index"], cfg=new_cfg).create()

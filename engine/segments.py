@@ -96,10 +96,19 @@ class IndexStore:
         # different cfg would silently switch the store's codec and make
         # every existing segment undecodable (review finding r04)
         if not os.path.exists(os.path.join(self.path, "_meta.json")):
+            # the store's full settings contract is persisted (not just the
+            # codec): jobs that operate on an EXISTING store (update_by_query,
+            # rollover generations, reindex destinations) resolve their
+            # IndexConfig from here via persisted_config() instead of
+            # defaulting — a CLI invocation without flags must not silently
+            # strip routing/_source/positions from a store that has them
             _atomic_write_json(
                 os.path.join(self.path, "_meta.json"),
                 {"name": self.name, "k1": self.cfg.k1, "b": self.cfg.b,
-                 "block_size": self.cfg.block_size, "codec": self.cfg.codec},
+                 "block_size": self.cfg.block_size, "codec": self.cfg.codec,
+                 "routing_col": self.cfg.routing_col,
+                 "store_positions": self.cfg.store_positions,
+                 "store_source": self.cfg.store_source},
             )
         if not os.path.exists(os.path.join(self.path, "_aliases.json")):
             _atomic_write_json(os.path.join(self.path, "_aliases.json"), {})
@@ -135,6 +144,31 @@ class IndexStore:
                 return json.load(f).get("codec", "varint")
         except FileNotFoundError:
             return "varint"
+
+    def persisted_config(self) -> IndexConfig:
+        """The IndexConfig this store was CREATED with, rehydrated from
+        _meta.json — the authoritative settings contract for jobs that
+        mutate an existing store (update_by_query, rollover generations).
+        Fields a pre-existing store's meta lacks fall back to defaults,
+        matching how those stores actually behave."""
+        mp = os.path.join(self.path, "_meta.json")
+        try:
+            with open(mp) as f:
+                meta = json.load(f)
+        except FileNotFoundError:
+            return DEFAULT_CONFIG
+        from dataclasses import replace
+
+        return replace(
+            DEFAULT_CONFIG,
+            k1=float(meta.get("k1", DEFAULT_CONFIG.k1)),
+            b=float(meta.get("b", DEFAULT_CONFIG.b)),
+            block_size=int(meta.get("block_size", DEFAULT_CONFIG.block_size)),
+            codec=meta.get("codec", "varint"),
+            routing_col=meta.get("routing_col"),
+            store_positions=bool(meta.get("store_positions", False)),
+            store_source=bool(meta.get("store_source", False)),
+        )
 
     # -- ledger ---------------------------------------------------------------
     def ledger_entries(self) -> list[LedgerEntry]:

@@ -631,12 +631,19 @@ def kmeans_assign(
     ONE groupBy(cluster, dim) mean whose output is k*dim rows. Iteration
     count is the only multiplier on corpus passes.
     """
+    def _round6(x: float) -> float:
+        # HALF-AWAY-FROM-ZERO to match F.round and DuckDB round(); python
+        # round() is banker's and would diverge on exact .5 midpoints
+        import math as _m
+
+        return _m.copysign(_m.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
     rows = (
         df.orderBy(id_col).limit(k)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
-    cents = [[round(float(x), 6) for x in r["v"]] for r in rows]
+    cents = [[_round6(float(x)) for x in r["v"]] for r in rows]
 
     def dists_col():
         return F.array(*[

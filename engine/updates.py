@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.analysis import tokens
-from engine.config import DEFAULT_CONFIG, IndexConfig
+from engine.config import IndexConfig
 from engine.merge import live_docs_for_store
 from engine.segments import IndexStore, LedgerEntry
 
@@ -110,7 +110,7 @@ def update_by_query(
     query_terms: list[str],
     transform,
     conjunctive: bool = False,
-    cfg: IndexConfig = DEFAULT_CONFIG,
+    cfg: IndexConfig | None = None,
     batch_id: int = 0,
 ):
     """Rewrite every live doc matching the query: `transform` (a Column ->
@@ -121,9 +121,17 @@ def update_by_query(
     segment wins the tie, so re-running the same update is idempotent in
     ranking terms. Requires store_source=True (like _reindex).
 
+    `cfg=None` (the default) resolves the STORE'S OWN persisted settings
+    (_meta.json via persisted_config) — the rewrite segment must keep the
+    store's routing/_source/positions contract; a caller-supplied cfg that
+    silently dropped them would make the updated docs unsearchable by
+    routing, strip their stored source, or break phrase serving.
+
     Returns the ingest BatchResult (or None when nothing matched)."""
     from engine.ingest import process_window
 
+    if cfg is None:
+        cfg = store.persisted_config()
     docs = store.docs(spark)
     if "source" not in docs.columns:
         raise ValueError(
@@ -141,8 +149,15 @@ def update_by_query(
         F.lit(None).cast("binary").alias("payload"),
         *(["lang"] if "lang" in docs.columns else []),
     )
-    if window.limit(1).count() == 0:
-        return None
-    return process_window(
-        spark, store, window, batch_id, cfg=cfg, pre_extracted=True
-    )
+    # persist: the emptiness probe and the ingest body both consume the
+    # match->join->transform lineage; without this the postings scan +
+    # decode + live-join would run twice
+    window = window.persist()
+    try:
+        if window.limit(1).count() == 0:
+            return None
+        return process_window(
+            spark, store, window, batch_id, cfg=cfg, pre_extracted=True
+        )
+    finally:
+        window.unpersist()

@@ -44,9 +44,10 @@ def main() -> None:
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--merge-factor", type=int, default=0,
                     help="merge all live segments when count reaches this (0=never)")
-    ap.add_argument("--codec", default="varint", choices=["varint", "pfor"],
+    ap.add_argument("--codec", default=None, choices=["varint", "pfor"],
                     help="posting-block codec recorded at store create "
-                         "(existing stores keep theirs)")
+                         "(default: template setting, else varint; existing "
+                         "stores always keep theirs)")
     ap.add_argument("--store-positions", action="store_true",
                     help="also write the positional-postings sidecar per "
                          "segment (engine/positions.py) so the index can "
@@ -67,9 +68,22 @@ def main() -> None:
         corpus = webpages(spark, args.docs)
     source = as_partitioned_source(corpus, args.source_partitions)
 
-    from engine.config import IndexConfig
+    probe = IndexStore(args.index_root, args.index)
+    if probe.exists():
+        # an EXISTING store's persisted settings are the contract: ingesting
+        # with default flags must not write unrouted/positionless segments
+        # into a routed/positions store (review finding r05-cont; the same
+        # rule update_by_query follows)
+        cfg = probe.persisted_config()
+    else:
+        # new store: CLI flags over index-template defaults (ES
+        # request-over-template precedence, same as index_admin create)
+        from engine.templates import resolve_create_config
 
-    cfg = IndexConfig(codec=args.codec, store_positions=args.store_positions)
+        explicit = {"store_positions": True} if args.store_positions else {}
+        if args.codec is not None:
+            explicit["codec"] = args.codec
+        cfg, _ = resolve_create_config(args.index_root, args.index, explicit)
     store = IndexStore(args.index_root, args.index, cfg=cfg)
     if not store.exists():
         store.create()

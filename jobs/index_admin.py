@@ -58,10 +58,14 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--index", required=True)
         if creates:
             # only the creating subcommands take --codec — it is recorded at
-            # create time and has no effect anywhere else (ADVICE r04)
-            p.add_argument("--codec", default="varint",
+            # create time and has no effect anywhere else (ADVICE r04).
+            # default=None so an EXPLICIT "--codec varint" is
+            # distinguishable from "no flag" (it must override a pfor
+            # template; review finding r05-cont)
+            p.add_argument("--codec", default=None,
                            choices=["varint", "pfor"],
-                           help="posting-block codec recorded at create")
+                           help="posting-block codec recorded at create "
+                                "(default: template setting, else varint)")
 
     add_common(sub.add_parser("create"), creates=True)
     add_common(sub.add_parser("delete"))
@@ -274,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
         if not src.exists():
             print(json.dumps({"error": f"index {args.index} does not exist"}))
             return 1
-        dst_cfg = IndexConfig(codec=args.codec, routing_col=args.routing_col,
+        dst_cfg = IndexConfig(codec=args.codec or "varint",
+                              routing_col=args.routing_col,
                               store_source=True)
         dst = IndexStore(args.index_root, args.dest, cfg=dst_cfg)
         if dst.exists():
@@ -284,7 +289,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("reindex")
         res = reindex(spark, src, dst, cfg=dst_cfg)
         print(json.dumps({
-            "source": args.index, "dest": args.dest, "codec": args.codec,
+            "source": args.index, "dest": args.dest,
+            "codec": args.codec or "varint",
             "n_docs": res.n_docs if res else 0,
             "segment": res.segment_id if res else None,
         }))
@@ -315,7 +321,7 @@ def main(argv: list[str] | None = None) -> int:
         # "varint", so only a non-default flag counts as explicit.
         from engine.templates import resolve_create_config
 
-        explicit = {} if args.codec == "varint" else {"codec": args.codec}
+        explicit = {} if args.codec is None else {"codec": args.codec}
         cfg, applied = resolve_create_config(args.index_root, args.index, explicit)
         store = IndexStore(args.index_root, args.index, cfg=cfg)
         template_applied = applied

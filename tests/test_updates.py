@@ -189,3 +189,48 @@ def test_delete_update_cli(spark, source, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["updated"] > 0
     assert _ids(search_store(spark, store, ["motor"], k=N))
+
+
+def test_update_by_query_keeps_store_contract(spark, source, tmp_path):
+    """Review fix: an update without an explicit cfg must resolve the
+    store's persisted settings — the rewrite segment keeps _source (a
+    second update over the updated docs still sees real text)."""
+    store = _build(spark, source, tmp_path, name="contractidx")
+    assert store.persisted_config().store_source is True
+    update_by_query(
+        spark, store, ["engine"],
+        transform=lambda c: F.regexp_replace(c, r"\bengine\b", "motor"),
+        batch_id=911,  # no cfg passed — persisted settings must apply
+    )
+    # updated docs' new versions must carry source (not NULL)
+    marked = _ids(match_doc_ids(spark, store, ["motor"]))
+    assert marked
+    upd_docs = store.docs(spark).where(F.col("doc_id").isin(list(marked)))
+    assert upd_docs.where(F.col("source").isNull()).count() == 0
+    # second update over the SAME docs sees the real text and rewrites it
+    res2 = update_by_query(
+        spark, store, ["motor"],
+        transform=lambda c: F.regexp_replace(c, r"\bmotor\b", "turbine"),
+        batch_id=912,
+    )
+    assert res2 is not None
+    assert _ids(match_doc_ids(spark, store, ["turbine"]))
+
+
+def test_reindex_does_not_resurrect_deleted_docs(spark, source, tmp_path):
+    from engine.reindex import reindex
+    from engine.segments import IndexStore
+
+    store = _build(spark, source, tmp_path, name="srcidx")
+    victims = _ids(match_doc_ids(spark, store, ["spark"]))
+    victim_urls = {
+        r.url for r in store.docs(spark)
+        .where(F.col("doc_id").isin(list(victims))).select("url").collect()
+    }
+    delete_by_query(spark, store, ["spark"])
+    dst = IndexStore(str(tmp_path), "dstidx", cfg=CFG).create()
+    reindex(spark, store, dst, cfg=CFG)
+    # dst assigns fresh doc ids — compare by url (the external id)
+    dst_urls = {r.url for r in dst.docs(spark).select("url").collect()}
+    assert not (dst_urls & victim_urls)
+    assert search_store(spark, dst, ["spark"], k=N).count() == 0
