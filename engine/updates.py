@@ -68,18 +68,9 @@ def match_doc_ids(
     return matched
 
 
-def delete_by_query(
-    spark: SparkSession,
-    store: IndexStore,
-    query_terms: list[str],
-    conjunctive: bool = False,
-) -> int:
-    """Tombstone every live doc matching the query; returns the deleted
-    count (ES `deleted` response field). No-op (no ledger entry) when
-    nothing matches. Crash-safe: tombstone parquet lands before the ledger
-    entry; a crash in between leaves an orphan file that the next attempt
-    overwrites (same contract as segment files)."""
-    matched = match_doc_ids(spark, store, query_terms, conjunctive)
+def _commit_tombstones(spark, store, matched, metrics: dict) -> int:
+    """Shared tombstone write + ledger commit: files first, ledger last
+    (the ingest commit-after-success contract); no-op without matches."""
     entry_id = store.next_entry_id()
     rel = os.path.join("deletes", f"del-{entry_id:08d}")
     out = os.path.join(store.path, rel)
@@ -93,15 +84,29 @@ def delete_by_query(
             entry_id=entry_id,
             kind="delete",
             segments_added=[],
-            metrics={
-                "deletes_dir": rel,
-                "n_deleted": int(n),
-                "query_terms": sorted(set(query_terms)),
-                "conjunctive": bool(conjunctive),
-            },
+            metrics={"deletes_dir": rel, "n_deleted": int(n), **metrics},
         )
     )
     return int(n)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    store: IndexStore,
+    query_terms: list[str],
+    conjunctive: bool = False,
+) -> int:
+    """Tombstone every live doc matching the query; returns the deleted
+    count (ES `deleted` response field). No-op (no ledger entry) when
+    nothing matches. Crash-safe: tombstone parquet lands before the ledger
+    entry; a crash in between leaves an orphan file that the next attempt
+    overwrites (same contract as segment files)."""
+    matched = match_doc_ids(spark, store, query_terms, conjunctive)
+    return _commit_tombstones(
+        spark, store, matched,
+        {"query_terms": sorted(set(query_terms)),
+         "conjunctive": bool(conjunctive)},
+    )
 
 
 def update_by_query(
@@ -161,3 +166,27 @@ def update_by_query(
         )
     finally:
         window.unpersist()
+
+
+def delete_by_ids(
+    spark: SparkSession,
+    store: IndexStore,
+    urls: list[str],
+) -> int:
+    """ES `_bulk` delete-op / DELETE-by-id: tombstone the LIVE version of
+    each given external id (url). Unknown urls are ignored (ES reports
+    them not_found). Same tombstone-file + ledger commit as
+    delete_by_query; the same read paths and merge reclaim apply.
+
+    Plan: the url IN list pushes into the doc-table scan (row-group
+    skipping via url min/max — the mget shape), then the version ranking
+    picks each url's live doc id. Bounded by the request size."""
+    if not urls:
+        return 0
+    docs = store.docs(spark).where(F.col("url").isin(list(set(urls))))
+    live = live_docs_for_store(spark, store, docs)
+    matched = (live if live is not None else docs).select("doc_id")
+    return _commit_tombstones(
+        spark, store, matched,
+        {"by": "ids", "n_requested": len(set(urls))},
+    )

@@ -123,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma-separated query terms")
     pdq.add_argument("--conjunctive", action="store_true",
                      help="require ALL terms (default: any)")
+    pdi = sub.add_parser("delete-by-ids", help="ES _bulk delete-op: "
+                         "tombstone the live version of each given url")
+    add_common(pdi)
+    pdi.add_argument("--urls", required=True,
+                     help="comma-separated external ids (urls)")
     puq = sub.add_parser("update-by-query", help="ES _update_by_query: "
                          "regexp-rewrite the stored _source of every live "
                          "doc matching the term query")
@@ -210,6 +215,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from engine.config import IndexConfig
+
+    if args.cmd == "delete-by-ids":
+        from engine.session import get_spark
+        from engine.updates import delete_by_ids
+
+        st = IndexStore(args.index_root, args.index)
+        if not st.exists():
+            print(json.dumps({"error": f"index {args.index} does not exist"}))
+            return 1
+        spark = get_spark("delete-by-ids")
+        urls = args.urls.split(",")
+        n = delete_by_ids(spark, st, urls)
+        print(json.dumps({"index": args.index, "deleted": n,
+                          "not_found": len(set(urls)) - n}))
+        return 0
 
     if args.cmd == "delete-by-query":
         from engine.session import get_spark

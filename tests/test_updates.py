@@ -234,3 +234,25 @@ def test_reindex_does_not_resurrect_deleted_docs(spark, source, tmp_path):
     dst_urls = {r.url for r in dst.docs(spark).select("url").collect()}
     assert not (dst_urls & victim_urls)
     assert search_store(spark, dst, ["spark"], k=N).count() == 0
+
+
+def test_delete_by_ids(spark, source, tmp_path):
+    from engine.updates import delete_by_ids
+
+    store = _build(spark, source, tmp_path, name="byidsidx")
+    some = [
+        r.url for r in store.docs(spark).orderBy("doc_id").limit(3)
+        .select("url").collect()
+    ]
+    before = _ids(search_store(spark, store, TERMS, k=N))
+    n = delete_by_ids(spark, store, some + ["http://nope.example/x"])
+    assert n == 3  # unknown url ignored (not_found)
+    after = _ids(search_store(spark, store, TERMS, k=N))
+    gone = {
+        r.doc_id for r in store.docs(spark)
+        .where(F.col("url").isin(some)).select("doc_id").collect()
+    }
+    assert after == before - gone
+    # idempotent-ish: deleting again finds no live versions
+    assert delete_by_ids(spark, store, some) == 0
+    assert delete_by_ids(spark, store, []) == 0
