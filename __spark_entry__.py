@@ -844,6 +844,22 @@ _PII_SUFFIX_SQL = (
 )
 
 
+def _q_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM (KenLM-style conditional MLE, order 2):
+    top-50 bigrams with conditional log-probs."""
+    from engine.textstats import bigram_lm
+
+    return bigram_lm(_docs(spark, sf_dir), top_n=50)
+
+
+def _q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the corpus-trained bigram model (the CCNet
+    filtering signal with a conditional model)."""
+    from engine.textstats import bigram_perplexity
+
+    return bigram_perplexity(_docs(spark, sf_dir))
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: logistic score over the engineered
     quality features (deterministic fasttext stand-in), zero shuffles."""
@@ -1710,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _q_completion_suggest,
         "repetition_stats": _q_repetition_stats,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_lm_top": _q_bigram_lm_top,
+        "bigram_perplexity": _q_bigram_perplexity,
         "simple_query_string": _q_simple_query_string,
         "simple_query_string_store": _q_simple_query_string_store,
         "simple_query_string_and": _q_simple_query_string_and,
@@ -1906,6 +1924,8 @@ def oracle_sql() -> dict[str, str]:
         "completion_suggest": _fz().completion_suggest_oracle_sql("s", size=6),
         "repetition_stats": _ts().repetition_stats_oracle_sql(),
         "unigram_logprob": _ts().unigram_logprob_oracle_sql(),
+        "bigram_lm_top": _ts().bigram_lm_oracle_sql(top_n=50),
+        "bigram_perplexity": _ts().bigram_perplexity_oracle_sql(),
         "delete_by_query_search": bm25_topk_oracle_sql(
             FLAGSHIP_TERMS, k=20, must_not_terms=["vector"]
         ),

@@ -73,6 +73,7 @@ def main() -> None:
         "match_bool_prefix_topk", "kmeans_clusters",
         "simple_query_string_store", "quality_classifier", "tfidf_keywords",
         "semdedup_pairs", "percentile_ranks_agg", "terms_lookup",
+        "bigram_lm_top", "bigram_perplexity",
     ]
     qs = {k: qs[k] for k in headline if k in qs}
 

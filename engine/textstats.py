@@ -429,3 +429,148 @@ ranked AS (
 SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {top_k}
 """
+
+
+def bigram_lm(
+    df: DataFrame, top_n: int | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAIN a bigram language model on the corpus itself: (w1, w2, cnt,
+    cond_logp) where cond_logp = ln(count(w1 w2) / count(w1 as prefix)) —
+    the conditional MLE the KenLM-style CCNet filter builds (restricted to
+    order 2 so both engines reproduce it exactly). `top_n` returns the
+    most frequent bigrams (cnt desc, w1/w2 asc tie-break).
+
+    Scale shape: bigram extraction is partition-local (zip each token
+    array with its shifted self — no shuffle); counts are ONE hash
+    aggregate keyed by (w1, w2); the prefix totals reuse the same relation
+    grouped by w1 (vocabulary-bounded) and broadcast back."""
+    t = tokens(text_col)
+    pairs = (
+        df.select(t.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = counts.groupBy("w1").agg(F.sum("cnt").alias("_c1"))
+    model = (
+        counts.join(F.broadcast(prefix), "w1")
+        .select(
+            "w1", "w2", "cnt",
+            F.round(F.log(F.col("cnt") / F.col("_c1")), SCORE_DECIMALS)
+            .alias("cond_logp"),
+        )
+    )
+    if top_n is None:
+        return model.orderBy("w1", "w2")
+    return model.orderBy(
+        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_n)
+
+
+def bigram_lm_oracle_sql(
+    top_n: int | None = None, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    order = (
+        "ORDER BY w1, w2"
+        if top_n is None
+        else f"ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT {top_n}"
+    )
+    return f"""
+WITH t AS (SELECT {toks} AS t FROM {table}),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+prefix AS (SELECT w1, sum(cnt) AS c1 FROM counts GROUP BY w1)
+SELECT counts.w1, counts.w2, counts.cnt,
+       round(ln(counts.cnt * 1.0 / prefix.c1), {SCORE_DECIMALS}) AS cond_logp
+FROM counts JOIN prefix USING (w1)
+{order}
+"""
+
+
+def bigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score each doc under the corpus-trained bigram model: per-doc mean
+    conditional log-prob over its bigrams and the perplexity exp(-mean) —
+    the CCNet filtering signal with a conditional (order-2) model instead
+    of unigram_logprob's order-1. Every bigram is in-model by construction
+    (the model is trained on this corpus), so no smoothing is needed;
+    docs shorter than 2 tokens are excluded (no bigrams to score).
+
+    Scale shape: train + score in one lineage — the model relation is
+    vocabulary^2-bounded and broadcast back onto the partition-local
+    bigram stream; two hash aggregates total."""
+    t = tokens(text_col)
+    doc_pairs = (
+        df.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    # exact (un-rounded) conditional logp recomputed from the same bigram
+    # stream: rounding belongs at the OUTPUT, not inside the mean
+    counts = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = counts.groupBy("w1").agg(F.sum("cnt").alias("_c1"))
+    logp = counts.join(F.broadcast(prefix), "w1").select(
+        "w1", "w2", F.log(F.col("cnt") / F.col("_c1")).alias("_lp")
+    )
+    return (
+        doc_pairs.join(F.broadcast(logp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("_lp"), SCORE_DECIMALS).alias("mean_logprob"),
+            F.round(F.exp(-F.avg("_lp")), SCORE_DECIMALS).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_perplexity_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[\\p{{L}}\\p{{N}}]+')"
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+prefix AS (SELECT w1, sum(cnt) AS c1 FROM counts GROUP BY w1),
+logp AS (
+  SELECT counts.w1, counts.w2, ln(counts.cnt * 1.0 / prefix.c1) AS lp
+  FROM counts JOIN prefix USING (w1)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(lp), {SCORE_DECIMALS}) AS mean_logprob,
+       round(exp(-avg(lp)), {SCORE_DECIMALS}) AS perplexity
+FROM pairs JOIN logp USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -384,6 +384,10 @@ def main() -> None:
         # terms lookup: broadcast arrays_overlap filter, no corpus join
         "terms_lookup": ([], [r"SortMergeJoin", r"CartesianProduct"]),
         "percentile_ranks_agg": ([r"HashAggregate"], [r"Join"]),
+        # bigram LM: partition-local pair extraction (Generate), hash
+        # aggregates, prefix totals broadcast back — no sort-merge join
+        "bigram_lm_top": ([r"Generate", r"HashAggregate", r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+        "bigram_perplexity": ([r"BroadcastHashJoin"], [r"CartesianProduct"]),
     }
 
     out = ["# PLANS — physical-plan audit of the headline queries\n"]
